@@ -1,0 +1,405 @@
+"""Parser for snarkjs `.zkey` Groth16 proving keys.
+
+Section layout (reference: src/zkey.rs:1-27):
+  Header(1): prover type (1 = Groth16)
+  HeaderGroth(2): n8q, q, n8r, r, nVars, nPub, domainSize,
+                  alpha_g1, beta_g1, beta_g2, gamma_g2, delta_g1, delta_g2
+  IC(3), Coefs(4), PointsA(5), PointsB1(6), PointsB2(7), PointsC(8),
+  PointsH(9), Contributions(10)
+
+Encoding subtleties replicated from the reference:
+  - Fq point coordinates are stored in Montgomery form x*R mod q ("LEM"),
+    read *unchecked* (reference: src/zkey.rs:327-332). We keep the raw
+    Montgomery limbs for the device (kernels operate in the Montgomery
+    domain) and strip lazily for host math.
+  - Fr coefficients in section 4 are stored as v*R^2 mod r, i.e. they need
+    a double Montgomery strip (reference: src/zkey.rs:320-325).
+  - A point with all-zero coordinates is the point at infinity
+    (reference: src/zkey.rs:340-360).
+  - matrices() drops the trailing n_public+1 rows snarkjs appends for the
+    public inputs; the witness map re-adds them (reference: src/zkey.rs:171-175,
+    src/circom/qap.rs:46-50). The C matrix is left empty (:188-192).
+
+Bulk point sections are parsed as numpy uint16 limb arrays (zero-copy from
+the file bytes) so multi-GB keys feed host->device transfer without a
+Python-int detour.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import BinaryIO, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import Q, R_SCALAR, MONT_R_INV_Q, MONT_R_INV_R, MONT_R_Q
+from ..ops import limbs as limb_codec
+
+ZKEY_MAGIC = b"zkey"
+
+G1_BYTES = 64
+G2_BYTES = 128
+FIELD_BYTES = 32
+
+
+class ZKeyParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Point containers: raw Montgomery limb arrays + lazy canonical views
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class G1Section:
+    """(n, 2, NUM_LIMBS) uint16 Montgomery-form x/y limbs; all-zero = infinity."""
+
+    limbs: np.ndarray  # (n, 2, 16) uint16
+
+    def __len__(self) -> int:
+        return self.limbs.shape[0]
+
+    @cached_property
+    def infinity_mask(self) -> np.ndarray:
+        return ~self.limbs.any(axis=(1, 2))
+
+    @cached_property
+    def points(self) -> List[Optional[Tuple[int, int]]]:
+        """Canonical affine points (Montgomery form stripped); None = infinity."""
+        out: List[Optional[Tuple[int, int]]] = []
+        for row in self.limbs:
+            x = limb_codec.limbs_to_int(row[0])
+            y = limb_codec.limbs_to_int(row[1])
+            if x == 0 and y == 0:
+                out.append(None)
+            else:
+                out.append(((x * MONT_R_INV_Q) % Q, (y * MONT_R_INV_Q) % Q))
+        return out
+
+
+@dataclass
+class G2Section:
+    """(n, 4, NUM_LIMBS) uint16 Montgomery x.c0/x.c1/y.c0/y.c1 limbs."""
+
+    limbs: np.ndarray  # (n, 4, 16) uint16
+
+    def __len__(self) -> int:
+        return self.limbs.shape[0]
+
+    @cached_property
+    def infinity_mask(self) -> np.ndarray:
+        return ~self.limbs.any(axis=(1, 2))
+
+    @cached_property
+    def points(self):
+        out = []
+        for row in self.limbs:
+            vals = [(limb_codec.limbs_to_int(row[i]) * MONT_R_INV_Q) % Q for i in range(4)]
+            raw = [limb_codec.limbs_to_int(row[i]) for i in range(4)]
+            if all(v == 0 for v in raw):
+                out.append(None)
+            else:
+                out.append(((vals[0], vals[1]), (vals[2], vals[3])))
+        return out
+
+
+@dataclass
+class VerifyingKey:
+    """Groth16 verifying key in canonical (non-Montgomery) coordinates."""
+
+    alpha_g1: Optional[Tuple[int, int]]
+    beta_g2: object
+    gamma_g2: object
+    delta_g2: object
+    gamma_abc_g1: List[Optional[Tuple[int, int]]]  # IC
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: Optional[Tuple[int, int]]
+    delta_g1: Optional[Tuple[int, int]]
+    # Bulk query sections stay as Montgomery limb arrays for the device.
+    a_query: G1Section
+    b_g1_query: G1Section
+    b_g2_query: G2Section
+    h_query: G1Section
+    l_query: G1Section
+    n_vars: int
+    n_public: int
+    domain_size: int
+
+
+@dataclass
+class ConstraintMatrices:
+    """Sparse A/B matrices from zkey section 4 (C stays empty, matching the
+    reference — snarkjs only stores A and B; reference: src/zkey.rs:188-192)."""
+
+    num_instance_variables: int  # n_public + 1
+    num_witness_variables: int  # n_vars - n_public
+    num_constraints: int
+    a_num_non_zero: int
+    b_num_non_zero: int
+    c_num_non_zero: int
+    # COO arrays (device-friendly): per entry row/col plus Montgomery-form
+    # value limbs (v*R mod r after the single strip applied at parse time).
+    a_rows: np.ndarray
+    a_cols: np.ndarray
+    a_values_mont: np.ndarray  # (nnz, 16) uint16, value v*R mod r
+    b_rows: np.ndarray
+    b_cols: np.ndarray
+    b_values_mont: np.ndarray
+
+    @cached_property
+    def a(self) -> List[List[Tuple[int, int]]]:
+        """Row-major [(value, signal)] lists, canonical values — the shape the
+        host witness-map reference consumes (mirrors arkworks' matrices)."""
+        return _coo_to_rows(
+            self.a_rows, self.a_cols, self.a_values_mont, self.num_constraints
+        )
+
+    @cached_property
+    def b(self) -> List[List[Tuple[int, int]]]:
+        return _coo_to_rows(
+            self.b_rows, self.b_cols, self.b_values_mont, self.num_constraints
+        )
+
+    @property
+    def c(self) -> list:
+        return []
+
+
+def _coo_to_rows(rows, cols, values_mont, num_rows):
+    out: List[List[Tuple[int, int]]] = [[] for _ in range(num_rows)]
+    for r, c, vrow in zip(rows, cols, values_mont):
+        v = (limb_codec.limbs_to_int(vrow) * MONT_R_INV_R) % R_SCALAR
+        out[int(r)].append((v, int(c)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Binary reading
+# ---------------------------------------------------------------------------
+
+
+def _read_exact(r: BinaryIO, n: int) -> bytes:
+    data = r.read(n)
+    if len(data) != n:
+        raise ZKeyParseError(f"unexpected EOF: wanted {n} bytes, got {len(data)}")
+    return data
+
+
+def _u32(r: BinaryIO) -> int:
+    return struct.unpack("<I", _read_exact(r, 4))[0]
+
+
+def _u64(r: BinaryIO) -> int:
+    return struct.unpack("<Q", _read_exact(r, 8))[0]
+
+
+@dataclass
+class _Section:
+    position: int
+    size: int
+
+
+class BinFile:
+    """Section-scanned zkey binary (reference: src/zkey.rs:62-101)."""
+
+    def __init__(self, reader: BinaryIO):
+        magic = _read_exact(reader, 4)
+        if magic != ZKEY_MAGIC:
+            raise ZKeyParseError(f"invalid zkey magic {magic!r}")
+        self.version = _u32(reader)
+        num_sections = _u32(reader)
+        self.sections: Dict[int, List[_Section]] = {}
+        for _ in range(num_sections):
+            sec_id = _u32(reader)
+            sec_len = _u64(reader)
+            self.sections.setdefault(sec_id, []).append(
+                _Section(reader.tell(), sec_len)
+            )
+            reader.seek(sec_len, io.SEEK_CUR)
+        self.reader = reader
+        self._header: Optional["HeaderGroth"] = None
+
+    def _section(self, sec_id: int) -> _Section:
+        if sec_id not in self.sections:
+            raise ZKeyParseError(f"missing zkey section {sec_id}")
+        return self.sections[sec_id][0]
+
+    def groth_header(self) -> "HeaderGroth":
+        if self._header is None:
+            sec = self._section(2)
+            self.reader.seek(sec.position)
+            self._header = HeaderGroth.read(self.reader)
+        return self._header
+
+    def _section_bytes(self, sec_id: int) -> bytes:
+        sec = self._section(sec_id)
+        self.reader.seek(sec.position)
+        return _read_exact(self.reader, sec.size)
+
+    def g1_section(self, num: int, sec_id: int) -> G1Section:
+        sec = self._section(sec_id)
+        self.reader.seek(sec.position)
+        raw = _read_exact(self.reader, num * G1_BYTES)
+        limbs = np.frombuffer(raw, dtype="<u2").reshape(num, 2, 16).copy()
+        return G1Section(limbs)
+
+    def g2_section(self, num: int, sec_id: int) -> G2Section:
+        sec = self._section(sec_id)
+        self.reader.seek(sec.position)
+        raw = _read_exact(self.reader, num * G2_BYTES)
+        limbs = np.frombuffer(raw, dtype="<u2").reshape(num, 4, 16).copy()
+        return G2Section(limbs)
+
+    def proving_key(self) -> ProvingKey:
+        header = self.groth_header()
+        ic = self.g1_section(header.n_public + 1, 3)
+        a_query = self.g1_section(header.n_vars, 5)
+        b_g1_query = self.g1_section(header.n_vars, 6)
+        b_g2_query = self.g2_section(header.n_vars, 7)
+        l_query = self.g1_section(header.n_vars - header.n_public - 1, 8)
+        h_query = self.g1_section(header.domain_size, 9)
+
+        vk = VerifyingKey(
+            alpha_g1=header.alpha_g1,
+            beta_g2=header.beta_g2,
+            gamma_g2=header.gamma_g2,
+            delta_g2=header.delta_g2,
+            gamma_abc_g1=ic.points,
+        )
+        return ProvingKey(
+            vk=vk,
+            beta_g1=header.beta_g1,
+            delta_g1=header.delta_g1,
+            a_query=a_query,
+            b_g1_query=b_g1_query,
+            b_g2_query=b_g2_query,
+            h_query=h_query,
+            l_query=l_query,
+            n_vars=header.n_vars,
+            n_public=header.n_public,
+            domain_size=header.domain_size,
+        )
+
+    def matrices(self) -> ConstraintMatrices:
+        header = self.groth_header()
+        sec = self._section(4)
+        self.reader.seek(sec.position)
+        num_coeffs = _u32(self.reader)
+        raw = _read_exact(self.reader, num_coeffs * (12 + FIELD_BYTES))
+
+        entry = np.dtype(
+            [("matrix", "<u4"), ("constraint", "<u4"), ("signal", "<u4"),
+             ("value", "<u2", (16,))]
+        )
+        entries = np.frombuffer(raw, dtype=entry, count=num_coeffs)
+
+        max_constraint = int(entries["constraint"].max()) if num_coeffs else 0
+        num_constraints = max_constraint - header.n_public
+
+        # Strip ONE Montgomery factor now (raw = v*R^2 -> keep v*R for the
+        # device's Montgomery-domain kernels; canonical strip is lazy).
+        values_mont = _mont_strip_once_r(entries["value"])
+
+        keep = entries["constraint"] < num_constraints
+        is_a = entries["matrix"] == 0
+        sel_a = keep & is_a
+        sel_b = keep & ~is_a
+
+        return ConstraintMatrices(
+            num_instance_variables=header.n_public + 1,
+            num_witness_variables=header.n_vars - header.n_public,
+            num_constraints=num_constraints,
+            a_num_non_zero=int(sel_a.sum()),
+            b_num_non_zero=int(sel_b.sum()),
+            c_num_non_zero=0,
+            a_rows=entries["constraint"][sel_a].astype(np.int64),
+            a_cols=entries["signal"][sel_a].astype(np.int64),
+            a_values_mont=values_mont[sel_a],
+            b_rows=entries["constraint"][sel_b].astype(np.int64),
+            b_cols=entries["signal"][sel_b].astype(np.int64),
+            b_values_mont=values_mont[sel_b],
+        )
+
+
+def _mont_strip_once_r(values_u16: np.ndarray) -> np.ndarray:
+    """(n,16) uint16 raw Fr values (v*R^2) -> (n,16) uint16 (v*R mod r)."""
+    out = np.empty_like(values_u16)
+    for i, row in enumerate(values_u16):
+        v = (limb_codec.limbs_to_int(row) * MONT_R_INV_R) % R_SCALAR
+        out[i] = limb_codec.int_to_limbs(v, dtype=np.uint16)
+    return out
+
+
+class HeaderGroth:
+    """Section-2 header (reference: src/zkey.rs:261-318)."""
+
+    @classmethod
+    def read(cls, r: BinaryIO) -> "HeaderGroth":
+        self = cls()
+        self.n8q = _u32(r)
+        if self.n8q != FIELD_BYTES:
+            raise ZKeyParseError("only 32-byte Fq supported")
+        self.q = int.from_bytes(_read_exact(r, self.n8q), "little")
+        if self.q != Q:
+            raise ZKeyParseError("zkey base field is not BN254 Fq")
+        self.n8r = _u32(r)
+        self.r = int.from_bytes(_read_exact(r, self.n8r), "little")
+        if self.r != R_SCALAR:
+            raise ZKeyParseError("zkey scalar field is not BN254 Fr")
+        self.n_vars = _u32(r)
+        self.n_public = _u32(r)
+        self.domain_size = _u32(r)
+        self.power = self.domain_size.bit_length() - 1
+        self.alpha_g1 = _read_g1(r)
+        self.beta_g1 = _read_g1(r)
+        self.beta_g2 = _read_g2(r)
+        self.gamma_g2 = _read_g2(r)
+        self.delta_g1 = _read_g1(r)
+        self.delta_g2 = _read_g2(r)
+        return self
+
+
+def _read_fq(r: BinaryIO) -> int:
+    """Montgomery-form Fq read: raw*Rinv mod q (reference: src/zkey.rs:327-332)."""
+    raw = int.from_bytes(_read_exact(r, FIELD_BYTES), "little")
+    return (raw * MONT_R_INV_Q) % Q
+
+
+def _read_g1(r: BinaryIO):
+    x_raw = int.from_bytes(_read_exact(r, FIELD_BYTES), "little")
+    y_raw = int.from_bytes(_read_exact(r, FIELD_BYTES), "little")
+    if x_raw == 0 and y_raw == 0:
+        return None
+    return ((x_raw * MONT_R_INV_Q) % Q, (y_raw * MONT_R_INV_Q) % Q)
+
+
+def _read_g2(r: BinaryIO):
+    vals = []
+    raws = []
+    for _ in range(4):
+        raw = int.from_bytes(_read_exact(r, FIELD_BYTES), "little")
+        raws.append(raw)
+        vals.append((raw * MONT_R_INV_Q) % Q)
+    if all(v == 0 for v in raws):
+        return None
+    return ((vals[0], vals[1]), (vals[2], vals[3]))
+
+
+def read_zkey(path_or_reader) -> Tuple[ProvingKey, ConstraintMatrices]:
+    """Load a snarkjs .zkey into (ProvingKey, ConstraintMatrices)
+    (reference: src/zkey.rs:53-60)."""
+    if hasattr(path_or_reader, "read"):
+        binfile = BinFile(path_or_reader)
+        return binfile.proving_key(), binfile.matrices()
+    with open(path_or_reader, "rb") as fh:
+        data = fh.read()
+    binfile = BinFile(io.BytesIO(data))
+    return binfile.proving_key(), binfile.matrices()

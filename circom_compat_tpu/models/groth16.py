@@ -1,0 +1,189 @@
+"""Groth16 prover/verifier orchestration.
+
+Replaces ark-groth16 (reference: Cargo.toml:29; call sites src/zkey.rs:866,
+:903-912, tests/groth16.rs:31). The prover is: CircomReduction witness map,
+then five MSMs over the zkey query sections — A(G1), B1(G1), B2(G2),
+L(G1, aux only), H(G1) — combined with randomizers r,s into (A, B, C).
+Verification is one pairing product against the (processed) verifying key.
+
+Two prover backends:
+  - host: pure-Python reference (tiny circuits, parity tests)
+  - jax:  device witness map (ops/ntt.py) + device MSMs (ops/msm.py),
+          host-side only for the final tiny group algebra
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from ..circom import qap
+from ..circom.zkey import ConstraintMatrices, ProvingKey, VerifyingKey
+from ..constants import R_SCALAR
+from ..refmath import curve, pairing
+from ..refmath.field import FQ12
+
+
+@dataclass
+class Proof:
+    a: Optional[Tuple[int, int]]  # G1
+    b: object  # G2
+    c: Optional[Tuple[int, int]]  # G1
+
+
+@dataclass
+class PreparedVerifyingKey:
+    vk: VerifyingKey
+    alpha_beta: FQ12  # e(alpha, beta), precomputed
+    gamma_neg: object  # -gamma_g2
+    delta_neg: object  # -delta_g2
+
+
+def random_scalar() -> int:
+    return int.from_bytes(os.urandom(48), "little") % R_SCALAR
+
+
+class Groth16:
+    # ------------------------------------------------------------------ prove
+
+    @staticmethod
+    def create_proof_with_reduction_and_matrices(
+        pk: ProvingKey,
+        r: int,
+        s: int,
+        matrices: ConstraintMatrices,
+        num_inputs: int,
+        num_constraints: int,
+        full_assignment: Sequence[int],
+        backend: str = "host",
+    ) -> Proof:
+        """Deterministic prove with explicit randomizers — mirrors
+        ark_groth16::create_proof_with_reduction_and_matrices
+        (reference call site: src/zkey.rs:903-912)."""
+        if backend == "jax":
+            from . import groth16_jax
+
+            return groth16_jax.prove(
+                pk, r, s, matrices, num_inputs, num_constraints, full_assignment
+            )
+
+        h = qap.witness_map_from_matrices(
+            matrices.a, matrices.b, num_inputs, num_constraints, full_assignment
+        )
+        return _assemble_proof_host(pk, r, s, full_assignment, h, num_inputs)
+
+    @staticmethod
+    def prove(pk: ProvingKey, circuit, rng=None, backend: str = "host") -> Proof:
+        """Randomized prove over a witness-attached CircomCircuit
+        (reference: Groth16::prove at src/zkey.rs:866)."""
+        r = random_scalar()
+        s = random_scalar()
+        full_assignment = circuit.full_assignment()
+        a_rows, b_rows, _ = circuit.to_matrices()
+        # Swap rows to [(value, signal)] ordering used by the witness map.
+        matrices_a = a_rows
+        matrices_b = b_rows
+        num_inputs = circuit.r1cs.num_inputs
+        num_constraints = len(circuit.r1cs.constraints)
+        if backend == "jax":
+            from . import groth16_jax
+
+            class _M:
+                a = matrices_a
+                b = matrices_b
+
+            return groth16_jax.prove(
+                pk, r, s, _M, num_inputs, num_constraints, full_assignment
+            )
+        h = qap.witness_map_from_matrices(
+            matrices_a, matrices_b, num_inputs, num_constraints, full_assignment
+        )
+        return _assemble_proof_host(pk, r, s, full_assignment, h, num_inputs)
+
+    # ----------------------------------------------------------------- verify
+
+    @staticmethod
+    def process_vk(vk: VerifyingKey) -> PreparedVerifyingKey:
+        alpha_beta = pairing.pairing(vk.beta_g2, vk.alpha_g1)
+        return PreparedVerifyingKey(
+            vk=vk,
+            alpha_beta=alpha_beta,
+            gamma_neg=curve.G2.neg(vk.gamma_g2),
+            delta_neg=curve.G2.neg(vk.delta_g2),
+        )
+
+    @staticmethod
+    def verify_with_processed_vk(
+        pvk: PreparedVerifyingKey, public_inputs: Sequence[int], proof: Proof
+    ) -> bool:
+        """e(A,B) =? e(alpha,beta) * e(L_pub, gamma) * e(C, delta)."""
+        ic = pvk.vk.gamma_abc_g1
+        if len(public_inputs) + 1 != len(ic):
+            raise ValueError("public input length mismatch")
+        acc = ic[0]
+        for x, base in zip(public_inputs, ic[1:]):
+            acc = curve.G1.add(acc, curve.G1.mul(base, x % R_SCALAR))
+        # Single product of Miller loops with one final exponentiation:
+        # e(A,B) * e(acc, -gamma) * e(C, -delta) * e(alpha,beta)^-1 == 1
+        f = pairing.multi_pairing(
+            [
+                (proof.a, proof.b),
+                (acc, pvk.gamma_neg),
+                (proof.c, pvk.delta_neg),
+            ]
+        )
+        return f == pvk.alpha_beta
+
+    @staticmethod
+    def verify_proof(
+        vk: VerifyingKey, proof: Proof, public_inputs: Sequence[int]
+    ) -> bool:
+        return Groth16.verify_with_processed_vk(
+            Groth16.process_vk(vk), public_inputs, proof
+        )
+
+
+def _assemble_proof_host(
+    pk: ProvingKey,
+    r: int,
+    s: int,
+    assignment: Sequence[int],
+    h: Sequence[int],
+    num_inputs: int,
+) -> Proof:
+    """The five MSMs + randomizer algebra producing (A, B, C)."""
+    g1 = curve.G1
+    g2 = curve.G2
+    assignment = [a % R_SCALAR for a in assignment]
+
+    a_query = pk.a_query.points
+    b1_query = pk.b_g1_query.points
+    b2_query = pk.b_g2_query.points
+    l_query = pk.l_query.points
+    h_query = pk.h_query.points
+
+    # A = alpha + sum a_i A_i + r delta
+    g_a = g1.msm(a_query, assignment)
+    g_a = g1.add(g_a, pk.vk.alpha_g1)
+    g_a = g1.add(g_a, g1.mul(pk.delta_g1, r))
+
+    # B(G1) = beta1 + sum a_i B1_i + s delta1
+    g_b1 = g1.msm(b1_query, assignment)
+    g_b1 = g1.add(g_b1, pk.beta_g1)
+    g_b1 = g1.add(g_b1, g1.mul(pk.delta_g1, s))
+
+    # B(G2) = beta2 + sum a_i B2_i + s delta2
+    g_b2 = g2.msm(b2_query, assignment)
+    g_b2 = g2.add(g_b2, pk.vk.beta_g2)
+    g_b2 = g2.add(g_b2, g2.mul(pk.vk.delta_g2, s))
+
+    # C = sum_aux a_i L_i + sum h_j H_j + s A + r B1 - rs delta1
+    aux = assignment[num_inputs : num_inputs + len(l_query)]
+    g_c = g1.msm(l_query, aux)
+    g_c = g1.add(g_c, g1.msm(h_query, [x % R_SCALAR for x in h]))
+    g_c = g1.add(g_c, g1.mul(g_a, s))
+    g_c = g1.add(g_c, g1.mul(g_b1, r))
+    g_c = g1.add(g_c, g1.mul(pk.delta_g1, (-r * s) % R_SCALAR))
+
+    return Proof(a=g_a, b=g_b2, c=g_c)

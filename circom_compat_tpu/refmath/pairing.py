@@ -1,0 +1,121 @@
+"""Host-side BN254 optimal-ate pairing for Groth16 verification.
+
+Verification is O(1) per proof, so it stays on the host (SURVEY.md section 7:
+"pairing can live host-side"). Replaces the reference's use of ark_ec pairing
+inside ark-groth16's verify (reference: src/zkey.rs:868-872).
+
+Implementation follows the classic bn128 construction: G2 points are
+untwisted into FQ12, Miller loop over ATE_LOOP_COUNT with affine line
+functions, two Frobenius-twisted extra lines, and a final exponentiation by
+(q^12 - 1) / r.
+"""
+
+from __future__ import annotations
+
+from ..constants import Q, R_SCALAR, ATE_LOOP_COUNT, LOG_ATE_LOOP_COUNT
+from .field import FQ12
+
+# w in FQ12
+_W = FQ12((0, 1) + (0,) * 10)
+_W2 = _W * _W
+_W3 = _W2 * _W
+
+FINAL_EXPONENT = (Q**12 - 1) // R_SCALAR
+
+
+def _embed_fq(x: int) -> FQ12:
+    return FQ12((x,) + (0,) * 11)
+
+
+def twist(pt):
+    """Map a G2 point ((x0,x1),(y0,y1)) into the curve over FQ12."""
+    if pt is None:
+        return None
+    (x0, x1), (y0, y1) = pt
+    # Change of basis: Fq2 = Fq[u]/(u^2+1) embeds into FQ12 via u -> w^6 + 9
+    nx = FQ12(((x0 - 9 * x1) % Q,) + (0,) * 5 + (x1,) + (0,) * 5)
+    ny = FQ12(((y0 - 9 * y1) % Q,) + (0,) * 5 + (y1,) + (0,) * 5)
+    return (nx * _W2, ny * _W3)
+
+
+def cast_g1(pt):
+    if pt is None:
+        return None
+    return (_embed_fq(pt[0]), _embed_fq(pt[1]))
+
+
+def _linefunc(p1, p2, t):
+    """Evaluate the line through p1, p2 at point t (all over FQ12)."""
+    x1, y1 = p1
+    x2, y2 = p2
+    xt, yt = t
+    if x1 != x2:
+        m = (y2 - y1) / (x2 - x1)
+        return m * (xt - x1) - (yt - y1)
+    if y1 == y2:
+        m = (3 * (x1 * x1)) / (2 * y1)
+        return m * (xt - x1) - (yt - y1)
+    return xt - x1
+
+
+def _add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and y1 == y2:
+        return _double(p1)
+    if x1 == x2:
+        return None
+    m = (y2 - y1) / (x2 - x1)
+    x3 = m * m - x1 - x2
+    return (x3, m * (x1 - x3) - y1)
+
+
+def _double(p):
+    x, y = p
+    m = (3 * (x * x)) / (2 * y)
+    x3 = m * m - 2 * x
+    return (x3, m * (x - x3) - y)
+
+
+def miller_loop(q_twisted, p_cast) -> FQ12:
+    """Miller loop producing an unreduced pairing value in FQ12."""
+    if q_twisted is None or p_cast is None:
+        return FQ12.one()
+    r = q_twisted
+    f = FQ12.one()
+    for i in range(LOG_ATE_LOOP_COUNT, -1, -1):
+        f = f * f * _linefunc(r, r, p_cast)
+        r = _double(r)
+        if ATE_LOOP_COUNT & (1 << i):
+            f = f * _linefunc(r, q_twisted, p_cast)
+            r = _add(r, q_twisted)
+    # Frobenius-twisted points: pi(Q) and -pi^2(Q)
+    q1 = (q_twisted[0] ** Q, q_twisted[1] ** Q)
+    nq2 = (q1[0] ** Q, -(q1[1] ** Q))
+    f = f * _linefunc(r, q1, p_cast)
+    r = _add(r, q1)
+    f = f * _linefunc(r, nq2, p_cast)
+    return f
+
+
+def final_exponentiate(f: FQ12) -> FQ12:
+    return f**FINAL_EXPONENT
+
+
+def pairing(g2_pt, g1_pt) -> FQ12:
+    """Full reduced pairing e(g1_pt, g2_pt) (args: G2 affine, G1 affine)."""
+    return final_exponentiate(miller_loop(twist(g2_pt), cast_g1(g1_pt)))
+
+
+def multi_pairing(pairs) -> FQ12:
+    """Product of pairings e(P_i, Q_i) over (g1, g2) pairs with ONE final exp."""
+    f = FQ12.one()
+    for g1_pt, g2_pt in pairs:
+        if g1_pt is None or g2_pt is None:
+            continue
+        f = f * miller_loop(twist(g2_pt), cast_g1(g1_pt))
+    return final_exponentiate(f)
