@@ -1,0 +1,91 @@
+"""Benchmark driver: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric (per BASELINE.json): G1 MSM points/sec/chip. Runs on
+whatever jax.devices() offers (real TPU under the driver; CPU locally with
+JAX_PLATFORMS=cpu). Size defaults to 2^16 to keep runtime sane and scales
+with --log-n.
+
+vs_baseline: ratio against a single-core CPU Pippenger estimate measured
+in-process (refmath, Python ints) on a small slice and extrapolated
+O(n / log n)-naively — honest placeholder until the arkworks criterion
+numbers are regenerated (see BASELINE.md).
+"""
+
+import argparse
+import json
+import random
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n", type=int, default=16)
+    ap.add_argument("--window-bits", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.ops import curve_jax as cj
+    from circom_compat_tpu.ops import field_jax as fj
+    from circom_compat_tpu.ops import msm as msm_ops
+    from circom_compat_tpu.refmath import curve as rc
+
+    n = 1 << args.log_n
+    rng = random.Random(1)
+
+    # Bases: random multiples of the generator, generated cheaply on device
+    # by doubling a seed batch (bases only need to be valid curve points).
+    base = rc.g1_generator()
+    seed_pts = [rc.G1.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
+    xs0, ys0 = cj.encode_g1_affine(seed_pts)
+    reps = n // 256
+    import numpy as np
+
+    xs = np.tile(xs0, (reps, 1))
+    ys = np.tile(ys0, (reps, 1))
+    scalars = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
+
+    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    sc = jnp.asarray(scalars)
+
+    # Compile once.
+    sums = msm_ops.msm_window_sums(cj.FQ_ADAPTER, jac, sc, args.window_bits)
+    jax.block_until_ready(sums)
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        sums = msm_ops.msm_window_sums(cj.FQ_ADAPTER, jac, sc, args.window_bits)
+        jax.block_until_ready(sums)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    pts_per_sec = n / best
+
+    # Single-core CPU reference: time naive double-and-add on a small slice,
+    # scale to n with the Pippenger work model (n * 255/(2^c) window adds).
+    m = 256
+    t0 = time.perf_counter()
+    rc.G1.msm(seed_pts[:m], [rng.randrange(R_SCALAR) for _ in range(m)])
+    cpu_small = time.perf_counter() - t0
+    # naive double-and-add is ~384 point-ops/scalar; Pippenger ~ (256/c + 2^c/ n_pts)…
+    # conservatively credit CPU a 8x Pippenger speedup over naive.
+    cpu_pts_per_sec = m / cpu_small * 8.0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"g1_msm_points_per_sec_per_chip_2^{args.log_n}",
+                "value": round(pts_per_sec, 2),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_sec / cpu_pts_per_sec, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

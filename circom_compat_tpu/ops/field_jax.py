@@ -194,21 +194,26 @@ def mont_mul(field: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     pl = jnp.asarray(field.p_limbs)
     np_ = jnp.uint32(field.nprime)
-    t = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape)[:-1] + (NUM_LIMBS + 1,), jnp.uint32)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    t0 = jnp.zeros(shape[:-1] + (NUM_LIMBS + 1,), jnp.uint32)
 
-    for i in range(NUM_LIMBS):
-        bi = b[..., i : i + 1]
+    def _shift_up17(x):  # (..., 16) -> (..., 17), limbs moved one up
+        return jnp.concatenate([jnp.zeros_like(x[..., :1]), x], axis=-1)
+
+    def body(i, t):
+        bi = jax.lax.dynamic_slice_in_dim(b, i, 1, axis=-1)
         prod = a * bi  # exact: < 2^32
-        t = t + _pad_top(prod & _MASK)
-        t = t.at[..., 1:].add(prod >> LIMB_BITS)
+        t = t + _pad_top(prod & _MASK) + _shift_up17(prod >> LIMB_BITS)
         m = ((t[..., 0:1] & _MASK) * np_) & _MASK
         mq = m * pl  # exact: < 2^32
-        t = t + _pad_top(mq & _MASK)
-        t = t.at[..., 1:].add(mq >> LIMB_BITS)
-        carry0 = t[..., 0] >> LIMB_BITS  # low 16 bits are 0 by construction
-        t = _pad_top(t[..., 1:])
-        t = t.at[..., 0].add(carry0)
+        t = t + _pad_top(mq & _MASK) + _shift_up17(mq >> LIMB_BITS)
+        carry0 = t[..., 0:1] >> LIMB_BITS  # low 16 bits are 0 by construction
+        t = _pad_top(t[..., 1:])  # shift one limb down
+        return t + _pad_top(carry0, NUM_LIMBS)
 
+    t = jax.lax.fori_loop(0, NUM_LIMBS, body, t0, unroll=2)
     t = normalize_u(t)  # result < 2p < 2^255: limb 16 ends up 0
     return cond_sub_p(field, t[..., :16])
 
@@ -268,6 +273,21 @@ def encode_mont(values, field: FieldSpec) -> np.ndarray:
     p = field.modulus
     r = 1 << 256
     return limb_codec.ints_to_limbs([(v % p) * r % p for v in values], dtype=np.uint32)
+
+
+# jit the public batch ops: eager callers get compiled+cached kernels (the
+# raw bodies stay available with a _impl suffix for composition in traces).
+add_impl, sub_impl, neg_impl, mont_mul_impl = add, sub, neg, mont_mul
+to_mont_impl, from_mont_impl, inv_impl = to_mont, from_mont, inv
+add = jax.jit(add_impl, static_argnums=0)
+sub = jax.jit(sub_impl, static_argnums=0)
+neg = jax.jit(neg_impl, static_argnums=0)
+mont_mul = jax.jit(mont_mul_impl, static_argnums=0)
+to_mont = jax.jit(to_mont_impl, static_argnums=0)
+from_mont = jax.jit(from_mont_impl, static_argnums=0)
+inv = jax.jit(inv_impl, static_argnums=0)
+pow_const = jax.jit(pow_const, static_argnums=(0, 2))
+mont_sqr = jax.jit(mont_sqr, static_argnums=0)
 
 
 def decode(arr, field: FieldSpec, mont: bool = True):

@@ -1,0 +1,148 @@
+"""Pippenger multi-scalar multiplication on TPU.
+
+Replaces the MSM inside ark-ec that the reference's Groth16 prover spends
+its time in (reference: SURVEY §3.4 — "5 MSMs ... THE dominant cost").
+
+The bucket-accumulation scatter (data-dependent in CPU Pippenger) is
+reformulated TPU-style: per window, sort point indices by bucket digit,
+then a segmented associative scan (O(N) Jacobian adds, O(log N) depth)
+yields all bucket sums; the classic sum_j j*S_j reduction becomes a
+suffix-scan plus tree fold. Everything is static-shaped vector code.
+
+The per-window loop runs under lax.map (sequential, bounds peak memory to
+one window's gather). The final cross-window Horner fold (256 doublings)
+is tiny and runs on host over exact ints, where the Jacobian->affine
+inversion has to happen anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LIMB_BITS, NUM_LIMBS
+from . import curve_jax as cj
+from . import field_jax as fj
+from . import segments
+
+SCALAR_BITS = 254  # BN254 Fr
+
+
+def num_windows(window_bits: int) -> int:
+    return -(-SCALAR_BITS // window_bits)
+
+
+def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
+    """(N, 16) plain canonical limbs -> (W, N) int32 digits."""
+    n = scalars.shape[0]
+    padded = jnp.concatenate(
+        [scalars, jnp.zeros((n, 1), jnp.uint32)], axis=1
+    )  # guard limb for cross-limb windows
+    mask = np.uint32((1 << window_bits) - 1)
+    out = []
+    for w in range(num_windows(window_bits)):
+        bit = w * window_bits
+        limb, off = bit // LIMB_BITS, bit % LIMB_BITS
+        lo = padded[:, limb] >> off
+        hi_bits = LIMB_BITS - off
+        d = lo
+        if hi_bits < window_bits:  # window straddles two limbs
+            d = d | (padded[:, limb + 1] << hi_bits)
+        out.append((d & mask).astype(jnp.int32))
+    return jnp.stack(out, axis=0)
+
+
+def window_sums_impl(
+    F: cj.FieldAdapter,
+    points: cj.Point,  # Jacobian pytree, leading dim N
+    scalars: jnp.ndarray,  # (N, 16) uint32, plain canonical
+    window_bits: int = 8,
+) -> cj.Point:
+    """Per-window Pippenger sums; returns point pytree with leading dim W.
+
+    Un-jitted body so parallel/msm_sharded.py can call it inside shard_map.
+    """
+    B = 1 << window_bits
+    digits = window_digits(scalars, window_bits)  # (W, N)
+    ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
+    combine = lambda a, b: cj.add(F, a, b)
+
+    def per_window(d_row):
+        order = jnp.argsort(d_row)
+        keys = d_row[order]
+        pts = jax.tree_util.tree_map(lambda a: a[order], points)
+        buckets = segments.reduce_by_sorted_key(combine, pts, keys, B, ident)
+        # sum_{j=1}^{B-1} j * S_j  ==  sum of suffix sums of S_{B-1}..S_1.
+        rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
+        suffix = jax.lax.associative_scan(combine, rev)
+        # pad to B (power of two) with identity, then tree-fold.
+        pad = jax.tree_util.tree_map(
+            lambda x, i: jnp.concatenate(
+                [x, jnp.broadcast_to(i, (1,) + x.shape[1:])], axis=0
+            ),
+            suffix,
+            ident,
+        )
+        return segments.tree_fold(combine, pad, B)
+
+    return jax.lax.map(per_window, digits)
+
+
+msm_window_sums = jax.jit(window_sums_impl, static_argnums=(0, 3))
+
+
+# ---------------------------------------------------------------------------
+# Host-facing wrappers
+# ---------------------------------------------------------------------------
+
+
+def _fold_windows_host(window_pts: List, curve_ops, window_bits: int):
+    """Horner over decoded window sums, MSB window first (host, exact)."""
+    acc = None
+    for w in reversed(range(len(window_pts))):
+        if acc is not None:
+            for _ in range(window_bits):
+                acc = curve_ops.double(acc)
+        acc = curve_ops.add(acc, window_pts[w])
+    return acc
+
+
+def msm_g1(
+    points_mont_xy: Tuple[jnp.ndarray, jnp.ndarray],  # (N,16),(N,16) Montgomery
+    scalars: Sequence[int],
+    window_bits: int = 8,
+) -> Optional[Tuple[int, int]]:
+    """Full G1 MSM: device window sums + host fold. Returns affine or None."""
+    from ..refmath import curve as rc
+
+    xs, ys = points_mont_xy
+    n = xs.shape[0]
+    if n == 0 or len(scalars) == 0:
+        return None
+    sc = jnp.asarray(fj.encode_plain(list(scalars), fj.FR))[:n]
+    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    sums = msm_window_sums(cj.FQ_ADAPTER, jac, sc, window_bits)
+    decoded = cj.decode_g1(sums)
+    return _fold_windows_host(decoded, rc.G1, window_bits)
+
+
+def msm_g2(
+    points_mont_xy: Tuple[jnp.ndarray, jnp.ndarray],  # (N,2,16) x2 Montgomery
+    scalars: Sequence[int],
+    window_bits: int = 8,
+):
+    from ..refmath import curve as rc
+
+    xs, ys = points_mont_xy
+    n = xs.shape[0]
+    if n == 0 or len(scalars) == 0:
+        return None
+    sc = jnp.asarray(fj.encode_plain(list(scalars), fj.FR))[:n]
+    jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    sums = msm_window_sums(cj.FQ2_ADAPTER, jac, sc, window_bits)
+    decoded = cj.decode_g2(sums)
+    return _fold_windows_host(decoded, rc.G2, window_bits)

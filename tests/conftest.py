@@ -1,18 +1,32 @@
-"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax imports.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated on simulated devices per SURVEY.md section 4
 ("multi-host behavior tested on a single host via XLA's simulated
 multi-device"). Real-TPU benchmarks run through bench.py instead.
+
+NOTE: this image's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS pointing at the remote TPU tunnel, so env-var edits here are
+too late — jax.config.update is the only reliable override. XLA_FLAGS is
+still honored because the CPU backend initializes lazily on first use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the limb-arithmetic graphs are large and
+# recompiling them every pytest run dominates wall-clock.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pathlib
 
@@ -25,3 +39,8 @@ TEST_VECTORS = pathlib.Path("/root/reference/test-vectors")
 @pytest.fixture(scope="session")
 def test_vectors() -> pathlib.Path:
     return TEST_VECTORS
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh_devices():
+    return jax.devices()

@@ -1,0 +1,107 @@
+"""Parity tests: ops/curve_jax.py Jacobian group law vs refmath/curve.py."""
+
+import random
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from circom_compat_tpu.refmath import curve as rc
+from circom_compat_tpu.ops import curve_jax as cj
+
+RNG = random.Random(0xEC)
+
+# Eager dispatch of limb arithmetic is orders of magnitude slower than the
+# compiled path; always exercise the group law under jit.
+_jadd = jax.jit(cj.add, static_argnums=0)
+_jdouble = jax.jit(cj.double, static_argnums=0)
+
+
+def _rand_g1(n):
+    return [rc.G1.mul(rc.g1_generator(), RNG.randrange(1, 1 << 60)) for _ in range(n)]
+
+
+def _rand_g2(n):
+    return [rc.G2.mul(rc.g2_generator(), RNG.randrange(1, 1 << 60)) for _ in range(n)]
+
+
+def _g1_dev(points):
+    xs, ys = cj.encode_g1_affine(points)
+    return cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+
+
+def _g2_dev(points):
+    xs, ys = cj.encode_g2_affine(points)
+    return cj.affine_to_jacobian(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+
+
+def test_g1_add_general_and_edges():
+    pts = _rand_g1(6)
+    p_list = pts[:3] + [None, pts[4], pts[4]]
+    q_list = pts[3:6] + [pts[3], None, rc.G1.neg(pts[4])]
+    # also P == Q (doubling through add)
+    p_list.append(pts[5])
+    q_list.append(pts[5])
+
+    P = _g1_dev(p_list)
+    Q = _g1_dev(q_list)
+    out = _jadd(cj.FQ_ADAPTER, P, Q)
+    got = cj.decode_g1(out)
+    want = [rc.G1.add(a, b) for a, b in zip(p_list, q_list)]
+    assert got == want
+
+
+def test_g1_double():
+    pts = _rand_g1(4) + [None]
+    P = _g1_dev(pts)
+    got = cj.decode_g1(_jdouble(cj.FQ_ADAPTER, P))
+    assert got == [rc.G1.double(p) for p in pts]
+
+
+def test_g1_scalar_mul():
+    pts = _rand_g1(3)
+    P = _g1_dev(pts)
+    k = 0x2B7  # small: scalar_mul unrolls k.bit_length() point ops
+    got = cj.decode_g1(jax.jit(partial(cj.scalar_mul, cj.FQ_ADAPTER, k=k))(P))
+    assert got == [rc.G1.mul(p, k) for p in pts]
+
+
+def test_g2_add_and_double():
+    pts = _rand_g2(4)
+    p_list = [pts[0], pts[2], None, pts[3]]
+    q_list = [pts[1], rc.G2.neg(pts[2]), pts[0], pts[3]]
+    P = _g2_dev(p_list)
+    Q = _g2_dev(q_list)
+    got = cj.decode_g2(_jadd(cj.FQ2_ADAPTER, P, Q))
+    want = [rc.G2.add(a, b) for a, b in zip(p_list, q_list)]
+    assert got == want
+
+    got_d = cj.decode_g2(_jdouble(cj.FQ2_ADAPTER, P))
+    assert got_d == [rc.G2.double(p) for p in p_list]
+
+
+def test_segmented_point_reduce():
+    """MSM building block: reduce_by_sorted_key with Jacobian adds."""
+    from circom_compat_tpu.ops import segments
+
+    pts = _rand_g1(8)
+    keys = jnp.array([0, 0, 1, 3, 3, 3, 6, 6], dtype=jnp.int32)
+    P = _g1_dev(pts)
+    ident = tuple(jnp.asarray(c) for c in cj.identity_const(cj.FQ_ADAPTER))
+    reduce_fn = jax.jit(
+        lambda pts, ks: segments.reduce_by_sorted_key(
+            lambda a, b: cj.add(cj.FQ_ADAPTER, a, b), pts, ks, 8, ident
+        )
+    )
+    out = reduce_fn(P, keys)
+    got = cj.decode_g1(out)
+    want = []
+    for seg in range(8):
+        acc = None
+        for k, p in zip(keys.tolist(), pts):
+            if k == seg:
+                acc = rc.G1.add(acc, p)
+        want.append(acc)
+    assert got == want
