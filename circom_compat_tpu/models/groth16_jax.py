@@ -1,10 +1,15 @@
-"""Groth16 prover, device backend: NTT witness map + 5 Pippenger MSMs.
+"""Groth16 prover, device backend: NTT witness map + Pippenger MSMs.
 
 Mirrors ark_groth16::create_proof_with_reduction_and_matrices as invoked by
 the reference (reference: src/zkey.rs:903-912): witness map via
 CircomReduction (device NTT, ops/ntt.py), then MSMs over the zkey query
 sections — A(G1), B1(G1), B2(G2), L(G1, aux), H(G1) — with the r,s
 randomizer algebra done host-side on the five tiny results.
+
+Graph-size discipline: the four G1 MSMs are padded to one shape and run
+through a single lax.map'd window-sums body, so the (expensive to compile)
+bucket-scan graph is instantiated once for G1 and once for G2 per proof
+function — not five times.
 
 The DeviceProvingKey stages the zkey's Montgomery limb arrays onto the
 device once (sorted COO matrices + query points); repeated proofs reuse it
@@ -13,14 +18,13 @@ device once (sorted COO matrices + query points); repeated proofs reuse it
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..circom import qap
 from ..circom.zkey import ConstraintMatrices, ProvingKey
 from ..constants import R_SCALAR
 from ..ops import curve_jax as cj
@@ -30,12 +34,19 @@ from ..ops import msm as msm_ops
 from ..ops import ntt
 
 
-def _sorted_coo(rows, cols, vals_mont_u16, num_nnz_pad: Optional[int] = None):
+def _sorted_coo(rows, cols, vals_mont_u16):
     order = np.argsort(np.asarray(rows), kind="stable")
     r = np.asarray(rows, np.int32)[order]
     c = np.asarray(cols, np.int32)[order]
     v = np.asarray(vals_mont_u16, np.uint16)[order].astype(np.uint32)
     return jnp.asarray(r), jnp.asarray(c), jnp.asarray(v)
+
+
+def _pad_rows_np(arr: np.ndarray, target: int) -> np.ndarray:
+    if arr.shape[0] >= target:
+        return np.asarray(arr)[:target]
+    pad = np.zeros((target - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([np.asarray(arr), pad], axis=0)
 
 
 @dataclass
@@ -46,6 +57,8 @@ class DeviceProvingKey:
     num_inputs: int
     num_constraints: int
     domain_size: int
+    n_vars: int
+    aux_len: int
     # matrices (sorted COO, Montgomery values)
     a_rows: jnp.ndarray
     a_cols: jnp.ndarray
@@ -53,26 +66,35 @@ class DeviceProvingKey:
     b_rows: jnp.ndarray
     b_cols: jnp.ndarray
     b_vals: jnp.ndarray
-    # query points (affine Montgomery limbs; all-zero row = infinity)
-    a_query: tuple  # ((n,16),(n,16))
-    b_g1_query: tuple
-    b_g2_query: tuple  # ((n,2,16),(n,2,16))
-    l_query: tuple
-    h_query: tuple
+    # G1 queries stacked [a, b1, l, h], padded to one length:
+    # (4, N_max, 16) x and y (affine Montgomery; all-zero row = infinity)
+    g1_stack_x: jnp.ndarray
+    g1_stack_y: jnp.ndarray
+    g1_lengths: tuple  # true lengths (n_vars, n_vars, aux_len, h_len)
+    # G2 query (B2): ((n, 2, 16), (n, 2, 16))
+    b_g2_query: tuple
+    _cache: dict = field(default_factory=dict, repr=False)
 
     @staticmethod
     def build(
-        pk: ProvingKey, matrices: ConstraintMatrices, num_constraints: int
+        pk: ProvingKey, matrices, num_constraints: int, num_inputs: Optional[int] = None
     ) -> "DeviceProvingKey":
-        num_inputs = matrices.num_instance_variables
+        if num_inputs is None:
+            num_inputs = matrices.num_instance_variables
 
-        def g1(section):
-            limbs = np.asarray(section.limbs, np.uint16).astype(np.uint32)
-            return (jnp.asarray(limbs[:, 0]), jnp.asarray(limbs[:, 1]))
+        def g1_limbs(section):
+            return np.asarray(section.limbs, np.uint16).astype(np.uint32)
 
-        def g2(section):
-            limbs = np.asarray(section.limbs, np.uint16).astype(np.uint32)
-            return (jnp.asarray(limbs[:, 0:2]), jnp.asarray(limbs[:, 2:4]))
+        a_l = g1_limbs(pk.a_query)
+        b1_l = g1_limbs(pk.b_g1_query)
+        l_l = g1_limbs(pk.l_query)
+        h_l = g1_limbs(pk.h_query)
+        lengths = (a_l.shape[0], b1_l.shape[0], l_l.shape[0], h_l.shape[0])
+        n_max = max(lengths)
+        xs = np.stack([_pad_rows_np(q[:, 0], n_max) for q in (a_l, b1_l, l_l, h_l)])
+        ys = np.stack([_pad_rows_np(q[:, 1], n_max) for q in (a_l, b1_l, l_l, h_l)])
+
+        g2_l = np.asarray(pk.b_g2_query.limbs, np.uint16).astype(np.uint32)
 
         ar, ac, av = _sorted_coo(matrices.a_rows, matrices.a_cols, matrices.a_values_mont)
         br, bc, bv = _sorted_coo(matrices.b_rows, matrices.b_cols, matrices.b_values_mont)
@@ -81,28 +103,145 @@ class DeviceProvingKey:
             num_inputs=num_inputs,
             num_constraints=num_constraints,
             domain_size=pk.domain_size,
+            n_vars=a_l.shape[0],
+            aux_len=l_l.shape[0],
             a_rows=ar, a_cols=ac, a_vals=av,
             b_rows=br, b_cols=bc, b_vals=bv,
-            a_query=g1(pk.a_query),
-            b_g1_query=g1(pk.b_g1_query),
-            b_g2_query=g2(pk.b_g2_query),
-            l_query=g1(pk.l_query),
-            h_query=g1(pk.h_query),
+            g1_stack_x=jnp.asarray(xs),
+            g1_stack_y=jnp.asarray(ys),
+            g1_lengths=lengths,
+            b_g2_query=(jnp.asarray(g2_l[:, 0:2]), jnp.asarray(g2_l[:, 2:4])),
         )
 
+    @staticmethod
+    def from_matrix_rows(pk, rows_a, rows_b, num_inputs, num_constraints):
+        """Build from [(value, signal)] row lists (circuit-derived path)."""
 
-def compute_h(dpk: DeviceProvingKey, assignment_mont: jnp.ndarray) -> jnp.ndarray:
-    """Device witness map -> H scalars in plain (non-Montgomery) form."""
+        def coo(rows_list):
+            rows, cols, vals = [], [], []
+            for ri, entries in enumerate(rows_list):
+                for v, sig in entries:
+                    rows.append(ri)
+                    cols.append(sig)
+                    vals.append((v << 256) % R_SCALAR)
+            vals16 = (
+                limb_codec.ints_to_limbs(vals, dtype=np.uint16)
+                if vals
+                else np.zeros((0, 16), np.uint16)
+            )
+            return np.array(rows, np.int32), np.array(cols, np.int32), vals16
+
+        ar_, ac_, av_ = coo(rows_a)
+        br_, bc_, bv_ = coo(rows_b)
+
+        class _Shim:
+            num_instance_variables = num_inputs
+            a_rows, a_cols, a_values_mont = ar_, ac_, av_
+            b_rows, b_cols, b_values_mont = br_, bc_, bv_
+
+        return DeviceProvingKey.build(pk, _Shim, num_constraints, num_inputs)
+
+
+def _witness_map_mont(dpk: DeviceProvingKey, asg_mont: jnp.ndarray) -> jnp.ndarray:
     plan = ntt.get_plan(dpk.domain_size)
-    h_mont = ntt.witness_map(
+    return ntt.witness_map_impl(
         plan,
         dpk.a_rows, dpk.a_cols, dpk.a_vals,
         dpk.b_rows, dpk.b_cols, dpk.b_vals,
-        assignment_mont,
+        asg_mont,
         dpk.num_constraints,
         dpk.num_inputs,
     )
-    return fj.from_mont(fj.FR, h_mont)
+
+
+def _scalar_stack(dpk: DeviceProvingKey, asg_plain: jnp.ndarray, h_plain: jnp.ndarray):
+    """(4, N_max, 16) scalars for [a, b1, l, h]; padding rows are zero."""
+    n_max = dpk.g1_stack_x.shape[1]
+
+    def fit(sc, true_len):
+        sc = sc[:true_len]
+        return jnp.pad(sc, ((0, n_max - sc.shape[0]), (0, 0)))
+
+    la, lb1, ll, lh = dpk.g1_lengths
+    return jnp.stack(
+        [
+            fit(asg_plain, la),
+            fit(asg_plain, lb1),
+            fit(asg_plain[dpk.num_inputs : dpk.num_inputs + dpk.aux_len], ll),
+            fit(h_plain, lh),
+        ]
+    )
+
+
+def _prove_core(dpk: DeviceProvingKey, window_bits: int):
+    """assignment (plain limbs) -> (g1 window sums (4, W, pt), g2 (W, pt))."""
+
+    def core(asg_plain):
+        asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
+        h_plain = fj.from_mont_impl(fj.FR, _witness_map_mont(dpk, asg_mont))
+        sc = _scalar_stack(dpk, asg_plain, h_plain)
+
+        def g1_one(args):
+            xs, ys, s = args
+            jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, xs, ys)
+            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
+
+        g1_sums = jax.lax.map(g1_one, (dpk.g1_stack_x, dpk.g1_stack_y, sc))
+
+        jac2 = cj.affine_to_jacobian(cj.FQ2_ADAPTER, *dpk.b_g2_query)
+        g2_sums = msm_ops.window_sums_impl(
+            cj.FQ2_ADAPTER, jac2, asg_plain[: dpk.b_g2_query[0].shape[0]], window_bits
+        )
+        return g1_sums, g2_sums
+
+    return core
+
+
+def get_prove_core(dpk: DeviceProvingKey, window_bits: int = 8):
+    key = ("core", window_bits)
+    if key not in dpk._cache:
+        dpk._cache[key] = jax.jit(_prove_core(dpk, window_bits))
+    return dpk._cache[key]
+
+
+def assemble_proof(dpk, r, s, g1_sums, g2_sums, window_bits):
+    """Host: decode window sums, Horner-fold, apply r,s randomizer algebra."""
+    from ..refmath import curve as rc
+    from .groth16 import Proof
+
+    g1d = cj.decode_g1(g1_sums)  # (4*W) flattened row-major
+    w = g1_sums[0].shape[1]
+    folds = [
+        msm_ops._fold_windows_host(g1d[i * w : (i + 1) * w], rc.G1, window_bits)
+        for i in range(4)
+    ]
+    g_a_msm, g_b1_msm, g_l, g_h = folds
+    g_b2_msm = msm_ops._fold_windows_host(cj.decode_g2(g2_sums), rc.G2, window_bits)
+
+    pk = dpk.pk
+    g1o, g2o = rc.G1, rc.G2
+    g_a = g1o.add(g1o.add(g_a_msm, pk.vk.alpha_g1), g1o.mul(pk.delta_g1, r))
+    g_b1 = g1o.add(g1o.add(g_b1_msm, pk.beta_g1), g1o.mul(pk.delta_g1, s))
+    g_b2 = g2o.add(g2o.add(g_b2_msm, pk.vk.beta_g2), g2o.mul(pk.vk.delta_g2, s))
+    g_c = g1o.add(g_l, g_h)
+    g_c = g1o.add(g_c, g1o.mul(g_a, s))
+    g_c = g1o.add(g_c, g1o.mul(g_b1, r))
+    g_c = g1o.add(g_c, g1o.mul(pk.delta_g1, (-r * s) % R_SCALAR))
+    return Proof(a=g_a, b=g_b2, c=g_c)
+
+
+def prove_prepared(
+    dpk: DeviceProvingKey,
+    r: int,
+    s: int,
+    full_assignment: Sequence[int],
+    window_bits: int = 8,
+):
+    assignment = [int(a) % R_SCALAR for a in full_assignment]
+    asg_plain = jnp.asarray(fj.encode_plain(assignment))
+    core = get_prove_core(dpk, window_bits)
+    g1_sums, g2_sums = core(asg_plain)
+    return assemble_proof(dpk, r, s, g1_sums, g2_sums, window_bits)
 
 
 def prove(
@@ -119,99 +258,7 @@ def prove(
     if isinstance(matrices, ConstraintMatrices):
         dpk = DeviceProvingKey.build(pk, matrices, num_constraints)
     else:
-        # Generic duck-typed matrices (row lists) — build COO on the fly.
-        dpk = _device_pk_from_rows(pk, matrices, num_inputs, num_constraints)
+        dpk = DeviceProvingKey.from_matrix_rows(
+            pk, matrices.a, matrices.b, num_inputs, num_constraints
+        )
     return prove_prepared(dpk, r, s, full_assignment, window_bits)
-
-
-def _device_pk_from_rows(pk, matrices, num_inputs, num_constraints):
-    def coo(rows_list):
-        rows, cols, vals = [], [], []
-        for ri, entries in enumerate(rows_list):
-            for v, sig in entries:
-                rows.append(ri)
-                cols.append(sig)
-                vals.append((v << 256) % R_SCALAR)
-        vals16 = limb_codec.ints_to_limbs(vals, dtype=np.uint16) if vals else np.zeros((0, 16), np.uint16)
-        return (
-            np.array(rows, np.int32),
-            np.array(cols, np.int32),
-            vals16,
-        )
-
-    ar_, ac_, av_ = coo(matrices.a)
-    br_, bc_, bv_ = coo(matrices.b)
-
-    class _Shim:
-        num_instance_variables = num_inputs
-        a_rows, a_cols, a_values_mont = ar_, ac_, av_
-        b_rows, b_cols, b_values_mont = br_, bc_, bv_
-
-    return DeviceProvingKey.build(pk, _Shim, num_constraints)
-
-
-def prove_prepared(
-    dpk: DeviceProvingKey,
-    r: int,
-    s: int,
-    full_assignment: Sequence[int],
-    window_bits: int = 8,
-):
-    from ..refmath import curve as rc
-    from .groth16 import Proof
-
-    assignment = [int(a) % R_SCALAR for a in full_assignment]
-    n_vars = len(assignment)
-
-    asg_plain = jnp.asarray(fj.encode_plain(assignment))
-    asg_mont = fj.to_mont(fj.FR, asg_plain)
-
-    h_plain = compute_h(dpk, asg_mont)
-
-    # Five MSMs on device (window sums), folded on host.
-    def g1_msm(query, scalars_dev, count):
-        xs, ys = query
-        if count == 0:
-            return None
-        jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, xs[:count], ys[:count])
-        sums = msm_ops.msm_window_sums(
-            cj.FQ_ADAPTER, jac, scalars_dev[:count], window_bits
-        )
-        return msm_ops._fold_windows_host(
-            cj.decode_g1(sums), rc.G1, window_bits
-        )
-
-    def g2_msm(query, scalars_dev, count):
-        xs, ys = query
-        if count == 0:
-            return None
-        jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, xs[:count], ys[:count])
-        sums = msm_ops.msm_window_sums(
-            cj.FQ2_ADAPTER, jac, scalars_dev[:count], window_bits
-        )
-        return msm_ops._fold_windows_host(
-            cj.decode_g2(sums), rc.G2, window_bits
-        )
-
-    pk = dpk.pk
-    num_inputs = dpk.num_inputs
-    aux_len = len(pk.l_query)
-
-    g_a_msm = g1_msm(dpk.a_query, asg_plain, min(n_vars, dpk.a_query[0].shape[0]))
-    g_b1_msm = g1_msm(dpk.b_g1_query, asg_plain, min(n_vars, dpk.b_g1_query[0].shape[0]))
-    g_b2_msm = g2_msm(dpk.b_g2_query, asg_plain, min(n_vars, dpk.b_g2_query[0].shape[0]))
-    aux_scalars = asg_plain[num_inputs : num_inputs + aux_len]
-    g_l = g1_msm(dpk.l_query, aux_scalars, aux_scalars.shape[0])
-    g_h = g1_msm(dpk.h_query, h_plain, min(h_plain.shape[0], dpk.h_query[0].shape[0]))
-
-    # Host randomizer algebra (tiny): same as the host backend.
-    g1o, g2o = rc.G1, rc.G2
-    g_a = g1o.add(g1o.add(g_a_msm, pk.vk.alpha_g1), g1o.mul(pk.delta_g1, r))
-    g_b1 = g1o.add(g1o.add(g_b1_msm, pk.beta_g1), g1o.mul(pk.delta_g1, s))
-    g_b2 = g2o.add(g2o.add(g_b2_msm, pk.vk.beta_g2), g2o.mul(pk.vk.delta_g2, s))
-    g_c = g1o.add(g_l, g_h)
-    g_c = g1o.add(g_c, g1o.mul(g_a, s))
-    g_c = g1o.add(g_c, g1o.mul(g_b1, r))
-    g_c = g1o.add(g_c, g1o.mul(pk.delta_g1, (-r * s) % R_SCALAR))
-
-    return Proof(a=g_a, b=g_b2, c=g_c)

@@ -1,0 +1,176 @@
+"""Dev-mode Groth16 parameter generation (trusted setup) with the
+CircomReduction QAP semantics.
+
+Mirrors ark_groth16::generate_random_parameters_with_reduction as used by
+the reference tests (reference: tests/groth16.rs:22-27) so circuits can be
+proved without a snarkjs .zkey. The CircomReduction pieces:
+
+- instance map: delegates to the libsnark reduction (reference:
+  src/circom/qap.rs:16-21) — per-variable QAP evaluations u_i(t)/v_i(t)/
+  w_i(t) over the Lagrange basis at tau, with the public-input identity
+  rows a[num_constraints + i] += L_{nc+i}(t).
+- h_query scalars: delta^-1 * t^i Lagrange-ified over the 2x domain, odd
+  coefficients (reference: src/circom/qap.rs:90-105) — via qap.h_query_scalars.
+
+Host-side exact arithmetic: setup is a dev/test path, not the prover hot
+loop. Outputs the same ProvingKey/VerifyingKey containers the zkey parser
+produces, so both provers (host and device) consume them unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..circom import qap
+from ..circom.zkey import G1Section, G2Section, ProvingKey, VerifyingKey
+from ..constants import Q, R_SCALAR, fr_root_of_unity
+from ..ops import curve_jax as cj
+from ..refmath import curve as rc
+from ..refmath import field as rf
+
+
+def _rand_fr(rng) -> int:
+    return rng.randrange(1, R_SCALAR)
+
+
+def _g1_section(points) -> G1Section:
+    xs, ys = cj.encode_g1_affine(points)
+    return G1Section(np.stack([xs, ys], axis=1).astype(np.uint16))
+
+
+def _g2_section(points) -> G2Section:
+    xs, ys = cj.encode_g2_affine(points)
+    return G2Section(np.concatenate([xs, ys], axis=1).astype(np.uint16))
+
+
+def qap_instance_map(
+    matrix_a: List[List[Tuple[int, int]]],
+    matrix_b: List[List[Tuple[int, int]]],
+    matrix_c: List[List[Tuple[int, int]]],
+    num_inputs: int,
+    num_vars: int,
+    t: int,
+) -> Tuple[List[int], List[int], List[int], int]:
+    """(a_i(t), b_i(t), c_i(t), zt) — the libsnark instance map that
+    CircomReduction delegates to (reference: src/circom/qap.rs:16-21)."""
+    num_constraints = len(matrix_a)
+    domain_size = qap.domain_size_for(num_constraints, num_inputs)
+    omega = fr_root_of_unity(domain_size)
+
+    # Lagrange evaluations L_r(t) = zt * w^r / (n * (t - w^r)).
+    zt = (pow(t, domain_size, R_SCALAR) - 1) % R_SCALAR
+    n_inv = pow(domain_size, -1, R_SCALAR)
+    l_at_t: List[int] = []
+    w_pow = 1
+    for _ in range(domain_size):
+        denom = (t - w_pow) % R_SCALAR
+        if denom == 0:
+            # t landed on the domain (astronomically unlikely for random t)
+            raise ValueError("tau is in the evaluation domain; re-draw")
+        l_at_t.append(zt * w_pow % R_SCALAR * n_inv % R_SCALAR * pow(denom, -1, R_SCALAR) % R_SCALAR)
+        w_pow = w_pow * omega % R_SCALAR
+
+    a = [0] * num_vars
+    b = [0] * num_vars
+    c = [0] * num_vars
+    for r in range(num_constraints):
+        lr = l_at_t[r]
+        for coeff, col in matrix_a[r]:
+            a[col] = (a[col] + coeff * lr) % R_SCALAR
+        for coeff, col in matrix_b[r]:
+            b[col] = (b[col] + coeff * lr) % R_SCALAR
+        for coeff, col in matrix_c[r]:
+            c[col] = (c[col] + coeff * lr) % R_SCALAR
+    # Public-input rows: a[i] += L_{nc+i}(t) — binds the instance
+    # (arkworks adds these rows itself; reference strips them from the zkey
+    # matrices for the same reason, src/zkey.rs:171-175).
+    for i in range(num_inputs):
+        a[i] = (a[i] + l_at_t[num_constraints + i]) % R_SCALAR
+    return a, b, c, zt
+
+
+def generate_parameters(
+    circuit,
+    alpha: int,
+    beta: int,
+    gamma: int,
+    delta: int,
+    t: int,
+) -> ProvingKey:
+    """Deterministic setup from explicit toxic waste (testing)."""
+    matrix_a, matrix_b, matrix_c = circuit.to_matrices()
+    num_inputs = circuit.r1cs.num_inputs
+    num_vars = circuit.r1cs.num_variables
+    num_constraints = len(matrix_a)
+    domain_size = qap.domain_size_for(num_constraints, num_inputs)
+
+    a_t, b_t, c_t, _zt = qap_instance_map(
+        matrix_a, matrix_b, matrix_c, num_inputs, num_vars, t
+    )
+
+    gamma_inv = pow(gamma, -1, R_SCALAR)
+    delta_inv = pow(delta, -1, R_SCALAR)
+
+    g1 = rc.g1_generator()
+    g2 = rc.g2_generator()
+
+    def g1mul(k):
+        return rc.G1.mul(g1, k % R_SCALAR)
+
+    def g2mul(k):
+        return rc.G2.mul(g2, k % R_SCALAR)
+
+    # gamma_abc (IC, public) and l_query (aux) combine beta*a + alpha*b + c.
+    combined = [
+        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R_SCALAR for i in range(num_vars)
+    ]
+    gamma_abc = [g1mul(combined[i] * gamma_inv) for i in range(num_inputs)]
+    l_query = [g1mul(combined[i] * delta_inv) for i in range(num_inputs, num_vars)]
+
+    a_query = [g1mul(v) for v in a_t]
+    b_g1_query = [g1mul(v) for v in b_t]
+    b_g2_query = [g2mul(v) for v in b_t]
+
+    h_scalars = qap.h_query_scalars(domain_size - 1, t, delta_inv)
+    h_query = [g1mul(v) for v in h_scalars]
+
+    vk = VerifyingKey(
+        alpha_g1=g1mul(alpha),
+        beta_g2=g2mul(beta),
+        gamma_g2=g2mul(gamma),
+        delta_g2=g2mul(delta),
+        gamma_abc_g1=gamma_abc,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=g1mul(beta),
+        delta_g1=g1mul(delta),
+        a_query=_g1_section(a_query),
+        b_g1_query=_g1_section(b_g1_query),
+        b_g2_query=_g2_section(b_g2_query),
+        h_query=_g1_section(h_query),
+        l_query=_g1_section(l_query),
+        n_vars=num_vars,
+        n_public=num_inputs - 1,
+        domain_size=domain_size,
+    )
+
+
+def generate_random_parameters(circuit, rng=None) -> ProvingKey:
+    """Random dev setup — mirrors
+    Groth16::generate_random_parameters_with_reduction
+    (reference call site: tests/groth16.rs:25)."""
+    import random
+
+    rng = rng or random.SystemRandom()
+    return generate_parameters(
+        circuit,
+        alpha=_rand_fr(rng),
+        beta=_rand_fr(rng),
+        gamma=_rand_fr(rng),
+        delta=_rand_fr(rng),
+        t=_rand_fr(rng),
+    )

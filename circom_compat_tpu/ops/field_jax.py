@@ -96,31 +96,38 @@ def _one_pass_u(t: jnp.ndarray) -> jnp.ndarray:
     return lo + jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
 
 
-def normalize_u(t: jnp.ndarray) -> jnp.ndarray:
-    """Fully propagate carries of loose uint32 limbs (value must fit the
-    limb count: no carry may fall off the top limb)."""
-    t = _one_pass_u(_one_pass_u(t))  # bring limbs to <= 2^16 quickly
-
-    def cond(x):
-        return jnp.any(x >> LIMB_BITS)
-
-    return jax.lax.while_loop(cond, _one_pass_u, t)
+def _shift_up_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Limb index i -> i+k, zeros shifted in at the bottom."""
+    if k == 0:
+        return x
+    return jnp.concatenate(
+        [jnp.zeros_like(x[..., :k]), x[..., :-k]], axis=-1
+    )
 
 
-def _one_pass_s(t: jnp.ndarray) -> jnp.ndarray:
-    lo = t & jnp.int32(LIMB_MASK)
-    hi = t >> LIMB_BITS  # arithmetic shift: floor division by 2^16
-    return lo + jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+def normalize_u(t: jnp.ndarray, pre_passes: int = 2) -> jnp.ndarray:
+    """Exact carry propagation of loose uint32 limbs, branch-free.
 
-
-def normalize_s(t: jnp.ndarray) -> jnp.ndarray:
-    """Carry/borrow propagation for signed loose limbs; total value must be
-    >= 0 and fit the limb count."""
-
-    def cond(x):
-        return jnp.any(x >> LIMB_BITS)
-
-    return jax.lax.while_loop(cond, _one_pass_s, t)
+    `pre_passes` plain passes first bring every limb to <= 2^16 (callers
+    pick the count from their bound: inputs < 2^17 need 1; < 2^22 need 2).
+    The residual +1 ripple is then resolved with a Kogge-Stone
+    generate/propagate prefix in log2(L) steps — no data-dependent control
+    flow, so graphs embedding thousands of field ops stay while-loop-free.
+    """
+    for _ in range(pre_passes):
+        t = _one_pass_u(t)
+    # limbs now in [0, 2^16]; carries are 0/1.
+    g = (t >> LIMB_BITS).astype(jnp.uint32)  # generate: limb == 2^16
+    p = (t == _MASK).astype(jnp.uint32)  # propagate: limb == 0xffff
+    G = _shift_up_k(g, 1)  # carry INTO limb i from limb i-1
+    P = _shift_up_k(p, 1)
+    k = 1
+    L = t.shape[-1]
+    while k < L:
+        G = G | (P & _shift_up_k(G, k))
+        P = P & _shift_up_k(P, k)
+        k <<= 1
+    return (t + G) & _MASK
 
 
 def _pad_top(x: jnp.ndarray, n: int = 1) -> jnp.ndarray:
@@ -137,7 +144,7 @@ def cond_sub_p(field: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
     16 limbs are exactly t - p.
     """
     u = _pad_top(t) + _pad_top(jnp.asarray(field.pc_limbs))
-    u = normalize_u(u)
+    u = normalize_u(u, pre_passes=1)
     ge = (u[..., 16:17] != 0).astype(jnp.uint32)
     return jnp.where(ge != 0, u[..., :16], t)
 
@@ -148,17 +155,25 @@ def cond_sub_p(field: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def add(field: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s = normalize_u(a + b)  # < 2p < 2^256: no top overflow
+    s = normalize_u(a + b, pre_passes=1)  # < 2p < 2^256: no top overflow
     return cond_sub_p(field, s)
 
 
 def sub(field: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    # a - b + p >= 0 when b < p; signed limbs stay within int32.
-    s = a.astype(jnp.int32) - b.astype(jnp.int32) + jnp.asarray(
-        field.p_limbs
-    ).astype(jnp.int32)
-    s = normalize_s(s).astype(jnp.uint32)
-    return cond_sub_p(field, s)
+    """a - b + p, borrow-free: 2^256 - b == ~b + 1 limbwise (b canonical),
+    so a - b + p = (a + ~b + p + 1) - 2^256 and the 2^256 appears as a
+    guaranteed 1 in limb 16 of the 17-limb sum."""
+    comp = _MASK - b  # limbwise complement: no borrows since b_i <= 0xffff
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    e0 = jnp.zeros(shape[:-1] + (NUM_LIMBS + 1,), jnp.uint32).at[..., 0].set(1)
+    u = (
+        _pad_top(jnp.broadcast_to(a, shape))
+        + _pad_top(comp)
+        + _pad_top(jnp.asarray(field.p_limbs))
+        + e0
+    )
+    u = normalize_u(u, pre_passes=2)  # limbs <= 3*0xffff + 1 < 2^18
+    return cond_sub_p(field, u[..., :16])  # drop the 2^256 in limb 16
 
 
 def neg(field: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

@@ -78,16 +78,8 @@ def window_sums_impl(
         buckets = segments.reduce_by_sorted_key(combine, pts, keys, B, ident)
         # sum_{j=1}^{B-1} j * S_j  ==  sum of suffix sums of S_{B-1}..S_1.
         rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
-        suffix = jax.lax.associative_scan(combine, rev)
-        # pad to B (power of two) with identity, then tree-fold.
-        pad = jax.tree_util.tree_map(
-            lambda x, i: jnp.concatenate(
-                [x, jnp.broadcast_to(i, (1,) + x.shape[1:])], axis=0
-            ),
-            suffix,
-            ident,
-        )
-        return segments.tree_fold(combine, pad, B)
+        suffix = segments.inclusive_scan(combine, rev, ident)
+        return segments.fold(combine, suffix, ident)
 
     return jax.lax.map(per_window, digits)
 

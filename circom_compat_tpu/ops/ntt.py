@@ -70,13 +70,15 @@ class NTTPlan:
         rev = np.zeros(n, dtype=np.int64)
         for b in range(self.log_n):
             rev |= ((idx >> b) & 1) << (self.log_n - 1 - b)
-        self.bitrev = jnp.asarray(rev.astype(np.int32))
+        self.bitrev = rev.astype(np.int32)  # numpy: plans are built
+        # lazily (possibly inside a jit trace) and lru_cached — caching jnp
+        # arrays created during tracing would leak tracers.
 
         root = fr_root_of_unity(n) if n > 1 else 1
         root_inv = pow(root, -1, R_SCALAR)
         self.tw_fwd = _power_table(root, max(n // 2, 1))
         self.tw_inv = _power_table(root_inv, max(n // 2, 1))
-        self.n_inv = jnp.asarray(_mont(pow(n, -1, R_SCALAR)))
+        self.n_inv = _mont(pow(n, -1, R_SCALAR))
 
         # Coset shift table: powers of the 2n-th root of unity
         # (reference: src/circom/qap.rs:63-70).
@@ -84,19 +86,33 @@ class NTTPlan:
         self.coset = _power_table(root_2n, n)
 
 
-def _ntt_core(plan: NTTPlan, x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    n = plan.n
-    x = x[plan.bitrev]
-    for s in range(plan.log_n):
+def ntt_core_batched(
+    x: jnp.ndarray, table, bitrev, n: int, log_n: int
+) -> jnp.ndarray:
+    """Iterative radix-2 butterflies along axis -2 of (..., n, 16) input.
+
+    `table` is the (n/2, 16) twiddle table for the chosen direction;
+    `bitrev` the (n,) permutation. Shared by the single-chip NTT and the
+    local stages of the four-step distributed NTT (parallel/ntt_sharded.py).
+    """
+    x = jnp.take(x, jnp.asarray(bitrev), axis=-2)
+    batch = x.shape[:-2]
+    for s in range(log_n):
         half = 1 << s
         length = half * 2
         stride = n // length
-        tw = table[::stride][:half]  # (half, 16)
-        xm = x.reshape(n // length, length, 16)
-        u = xm[:, :half]
-        v = fj.mont_mul(FR, xm[:, half:], tw[None, :, :])
-        x = jnp.concatenate([fj.add(FR, u, v), fj.sub(FR, u, v)], axis=1).reshape(n, 16)
+        tw = jnp.asarray(table[::stride][:half])  # (half, 16)
+        xm = x.reshape(batch + (n // length, length, 16))
+        u = xm[..., :half, :]
+        v = fj.mont_mul(FR, xm[..., half:, :], tw)
+        x = jnp.concatenate(
+            [fj.add(FR, u, v), fj.sub(FR, u, v)], axis=-2
+        ).reshape(batch + (n, 16))
     return x
+
+
+def _ntt_core(plan: NTTPlan, x: jnp.ndarray, table) -> jnp.ndarray:
+    return ntt_core_batched(x, table, plan.bitrev, plan.n, plan.log_n)
 
 
 def fft(plan: NTTPlan, coeffs: jnp.ndarray) -> jnp.ndarray:

@@ -1,11 +1,18 @@
-"""Generic segmented reduction on TPU via work-efficient associative scan.
+"""Generic segmented reduction on TPU, compile-friendly.
 
 The reference's Rayon loops (reference: src/circom/qap.rs:37-44) and the
 sequential bucket insertion inside ark-ec's Pippenger MSM are both
 "reduce values by key" problems. On TPU the data-dependent scatter is
-reformulated as: sort by key (done by the caller), then a segmented
-inclusive scan with jax.lax.associative_scan — O(N) combines, O(log N)
-depth — and a gather of each segment's last element.
+reformulated as: sort by key (caller side), then a segmented inclusive
+scan, then a gather of each segment's last element.
+
+The scan is Hillis-Steele inside ONE lax.fori_loop with dynamic-offset
+shifts: the combine body is instantiated exactly once in the XLA graph
+regardless of N. (jax.lax.associative_scan is work-efficient but inlines
+O(log N) copies of the combine — with a ~16-field-mul Jacobian addition as
+the combine that made XLA compiles pathological.) Runtime work is
+O(N log N) vectorized combines; the Pallas bucket kernel will bring this
+to O(N) later.
 
 Works for any associative combine over a pytree of arrays (modular add for
 field rows, Jacobian point addition for MSM buckets).
@@ -18,6 +25,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+tree_map = jax.tree_util.tree_map
+
 
 def segment_flags(sorted_keys: jnp.ndarray) -> jnp.ndarray:
     """True where a new segment starts (keys must be sorted)."""
@@ -25,32 +34,69 @@ def segment_flags(sorted_keys: jnp.ndarray) -> jnp.ndarray:
     return sorted_keys != prev
 
 
+def _broadcast_ident(identity: Any, values: Any) -> Any:
+    return tree_map(
+        lambda i, v: jnp.broadcast_to(i, v.shape).astype(v.dtype), identity, values
+    )
+
+
 def segmented_scan(
     combine: Callable[[Any, Any], Any],
     values: Any,
     flags: jnp.ndarray,
+    identity: Any,
 ) -> Any:
     """Inclusive scan of `values` restarting at every True flag.
 
-    The lifted operator on (value, flag) pairs is associative for any
-    associative `combine`, so lax.associative_scan applies.
+    identity: pytree of arrays broadcastable to each leaf's element shape
+    (it is shifted in at the boundary and must satisfy combine(id, x) == x).
     """
+    n = flags.shape[0]
+    if n == 0:
+        return values
+    steps = max(n - 1, 1).bit_length()  # ceil(log2(n))
+    ident_block = _broadcast_ident(identity, values)
+    false_block = jnp.zeros_like(flags)
 
-    def lifted(a, b):
-        va, fa = a
-        vb, fb = b
-        merged = combine(va, vb)
-        keep_b = jax.tree_util.tree_map(
+    def body(k, carry):
+        v, f = carry
+        offset = jnp.left_shift(jnp.int32(1), k)
+        start = jnp.int32(n) - offset
+
+        def shift(leaf, ident_leaf):
+            padded = jnp.concatenate([ident_leaf, leaf], axis=0)
+            return jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
+
+        pv = tree_map(shift, v, ident_block)
+        pf = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([false_block, f], axis=0), start, n, axis=0
+        )
+        merged = combine(pv, v)
+        keep = tree_map(
             lambda m, y: jnp.where(
-                fb.reshape(fb.shape + (1,) * (y.ndim - fb.ndim)), y, m
+                f.reshape(f.shape + (1,) * (y.ndim - f.ndim)), y, m
             ),
             merged,
-            vb,
+            v,
         )
-        return keep_b, fa | fb
+        return keep, f | pf
 
-    scanned, _ = jax.lax.associative_scan(lifted, (values, flags))
+    (scanned, _), = (jax.lax.fori_loop(0, steps, body, (values, flags)),)
     return scanned
+
+
+def inclusive_scan(combine: Callable, values: Any, identity: Any) -> Any:
+    """Plain (unsegmented) inclusive scan, same single-combine graph."""
+    leaves = jax.tree_util.tree_leaves(values)
+    n = leaves[0].shape[0]
+    flags = jnp.zeros((n,), bool).at[0].set(True)
+    return segmented_scan(combine, values, flags, identity)
+
+
+def fold(combine: Callable, values: Any, identity: Any) -> Any:
+    """Reduce leading axis to one element (scan + take last)."""
+    scanned = inclusive_scan(combine, values, identity)
+    return tree_map(lambda x: x[-1], scanned)
 
 
 def reduce_by_sorted_key(
@@ -63,10 +109,10 @@ def reduce_by_sorted_key(
     """Per-key reductions for presorted int keys in [0, num_segments).
 
     Returns a pytree with leading dim num_segments; keys with no elements
-    get `identity` (a pytree of per-element arrays, broadcastable).
+    get `identity`.
     """
     flags = segment_flags(sorted_keys)
-    scanned = segmented_scan(combine, values, flags)
+    scanned = segmented_scan(combine, values, flags, identity)
 
     seg_ids = jnp.arange(num_segments, dtype=sorted_keys.dtype)
     right = jnp.searchsorted(sorted_keys, seg_ids, side="right")
@@ -76,21 +122,22 @@ def reduce_by_sorted_key(
 
     def pick(arr, ident):
         picked = arr[last_idx]
-        ident_b = jnp.broadcast_to(ident, picked.shape[1:])
+        ident_b = jnp.broadcast_to(ident, picked.shape[1:]).astype(picked.dtype)
         mask = nonempty.reshape((num_segments,) + (1,) * (picked.ndim - 1))
         return jnp.where(mask, picked, ident_b)
 
-    return jax.tree_util.tree_map(pick, scanned, identity)
+    return tree_map(pick, scanned, identity)
 
 
 def tree_fold(combine: Callable[[Any, Any], Any], values: Any, length: int) -> Any:
-    """Reduce `values` (leading dim == length, a power of two) to a single
-    element by log2(length) halving rounds of vectorized combines."""
+    """Reduce `values` (leading dim == length, a power of two) by halving
+    rounds: log2(length) combine instantiations — fine for small lengths
+    (device-count folds); use `fold` for long axes."""
     assert length & (length - 1) == 0 and length > 0
     while length > 1:
         half = length // 2
-        lo = jax.tree_util.tree_map(lambda x: x[:half], values)
-        hi = jax.tree_util.tree_map(lambda x: x[half:length], values)
+        lo = tree_map(lambda x: x[:half], values)
+        hi = tree_map(lambda x: x[half:length], values)
         values = combine(lo, hi)
         length = half
-    return jax.tree_util.tree_map(lambda x: x[0], values)
+    return tree_map(lambda x: x[0], values)

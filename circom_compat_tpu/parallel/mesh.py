@@ -28,3 +28,17 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
         n = 1 << (n.bit_length() - 1)
         devices = devices[:n]
     return Mesh(np.array(devices), (SHARD_AXIS,))
+
+
+def shmap(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_rep -> check_vma rename)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

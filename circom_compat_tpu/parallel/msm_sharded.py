@@ -17,13 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
-
 from ..ops import curve_jax as cj
 from ..ops import field_jax as fj
 from ..ops import msm as msm_ops
 from ..ops import segments
-from .mesh import SHARD_AXIS
+from .mesh import SHARD_AXIS, shmap
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
@@ -64,12 +62,8 @@ def sharded_window_sums(
         return segments.tree_fold(combine, gathered, n_dev)
 
     spec_pt = P(SHARD_AXIS)
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec_pt, spec_pt, spec_pt),
-        out_specs=P(),
-        check_rep=False,
+    fn = shmap(
+        local, mesh=mesh, in_specs=(spec_pt, spec_pt, spec_pt), out_specs=P()
     )
     return jax.jit(fn)(xs, ys, scalars)
 

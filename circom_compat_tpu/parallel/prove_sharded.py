@@ -1,139 +1,107 @@
 """Full Groth16 prove step compiled over a device mesh.
 
-One jitted function: replicated witness map (device NTT) + the five MSMs
-with bases/scalars sharded over the mesh (shard_map + all_gather), emitting
-replicated per-window sums for A, B1, B2(G2), L and H. The host then does
+One jitted function: replicated witness map (device NTT) + the MSMs with
+bases/scalars sharded over the mesh (shard_map + all_gather), emitting
+replicated per-window sums for [A, B1, L, H] (one batched G1 call — the
+bucket-scan graph is instantiated once) and B2 (G2). The host then does
 the tiny Horner fold + randomizer algebra exactly as the single-chip path.
 
 This is the multi-chip analogue of the reference prover hot path
-(reference: SURVEY §3.4); distributed NTT (four-step all_to_all) is the
-next scaling stage and slots in behind the same interface.
+(reference: SURVEY §3.4); the four-step distributed NTT
+(parallel/ntt_sharded.py) slots in behind the same interface once domains
+exceed one chip.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
-from ..models.groth16_jax import DeviceProvingKey
+from ..models import groth16_jax as gj
 from ..ops import curve_jax as cj
 from ..ops import field_jax as fj
 from ..ops import msm as msm_ops
-from ..ops import ntt
 from ..ops import segments
-from .mesh import SHARD_AXIS
-
-
-def _pad_rows(arr: np.ndarray, target: int) -> np.ndarray:
-    if arr.shape[0] >= target:
-        return arr[:target]
-    pad = np.zeros((target - arr.shape[0],) + arr.shape[1:], arr.dtype)
-    return np.concatenate([np.asarray(arr), pad], axis=0)
+from .mesh import SHARD_AXIS, shmap
 
 
 @dataclass
 class ShardedProver:
-    dpk: DeviceProvingKey
+    dpk: gj.DeviceProvingKey
     mesh: Mesh
     window_bits: int
-    step: Callable  # jitted: assignment_plain (n_pad, 16) -> dict of window sums
-    n_vars_padded: int
-
-    def window_sums(self, assignment_plain: np.ndarray) -> Dict[str, object]:
-        asg = _pad_rows(np.asarray(assignment_plain, np.uint32), self.n_vars_padded)
-        return self.step(jnp.asarray(asg))
+    step: Callable  # jitted: assignment_plain (n_vars, 16) -> (g1 sums, g2 sums)
 
 
 def build_sharded_prover(
-    dpk: DeviceProvingKey, mesh: Mesh, window_bits: int = 8
+    dpk: gj.DeviceProvingKey, mesh: Mesh, window_bits: int = 8
 ) -> ShardedProver:
     D = int(mesh.shape[SHARD_AXIS])
 
-    def ceil_mult(n):
-        return max(-(-n // D) * D, D)
+    n_max = dpk.g1_stack_x.shape[1]
+    n_pad = -(-n_max // D) * D
+    g2_len = dpk.b_g2_query[0].shape[0]
+    g2_pad = -(-g2_len // D) * D
 
-    n_vars = dpk.a_query[0].shape[0]
-    n_pad = ceil_mult(n_vars)
-    aux_len = dpk.l_query[0].shape[0]
-    aux_pad = ceil_mult(aux_len)
-    h_len = dpk.h_query[0].shape[0]
-    h_pad = ceil_mult(h_len)
+    def pad_n(arr, target, axis):
+        pads = [(0, 0)] * arr.ndim
+        pads[axis] = (0, target - arr.shape[axis])
+        return jnp.pad(jnp.asarray(arr), pads)
 
-    # Pre-padded device-resident query sections (all-zero rows = infinity).
-    def pad_q(q, target):
-        return tuple(jnp.asarray(_pad_rows(np.asarray(c), target)) for c in q)
+    g1_x = pad_n(dpk.g1_stack_x, n_pad, 1)  # (4, n_pad, 16)
+    g1_y = pad_n(dpk.g1_stack_y, n_pad, 1)
+    g2_x = pad_n(dpk.b_g2_query[0], g2_pad, 0)
+    g2_y = pad_n(dpk.b_g2_query[1], g2_pad, 0)
 
-    a_q = pad_q(dpk.a_query, n_pad)
-    b1_q = pad_q(dpk.b_g1_query, n_pad)
-    b2_q = pad_q(dpk.b_g2_query, n_pad)
-    l_q = pad_q(dpk.l_query, aux_pad)
-    h_q = pad_q(dpk.h_query, h_pad)
+    def g1_body(xs, ys, sc):  # local shards (4, n_pad/D, 16)
+        def one(args):
+            x, y, s = args
+            jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, x, y)
+            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
 
-    num_inputs = dpk.num_inputs
-
-    def sharded_msm(F, query, scalars):
-        combine = lambda a, b: cj.add(F, a, b)
-
-        def local(xs_l, ys_l, sc_l):
-            jac = cj.affine_to_jacobian(F, xs_l, ys_l)
-            sums = msm_ops.window_sums_impl(F, jac, sc_l, window_bits)
-            gathered = jax.lax.all_gather(sums, SHARD_AXIS)
-            return segments.tree_fold(combine, gathered, D)
-
-        sp = P(SHARD_AXIS)
-        return shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(sp, sp, sp),
-            out_specs=P(),
-            check_rep=False,
-        )(query[0], query[1], scalars)
-
-    plan = ntt.get_plan(dpk.domain_size)
-
-    def step(assignment_plain):  # (n_pad, 16) uint32, replicated
-        asg_mont = fj.to_mont(fj.FR, assignment_plain)
-        h_mont = ntt.witness_map(
-            plan,
-            dpk.a_rows, dpk.a_cols, dpk.a_vals,
-            dpk.b_rows, dpk.b_cols, dpk.b_vals,
-            asg_mont[:n_vars] if n_pad != n_vars else asg_mont,
-            dpk.num_constraints,
-            num_inputs,
+        sums = jax.lax.map(one, (xs, ys, sc))  # (4, W, pt)
+        gathered = jax.lax.all_gather(sums, SHARD_AXIS)  # (D, 4, W, pt)
+        return segments.tree_fold(
+            lambda a, b: cj.add(cj.FQ_ADAPTER, a, b), gathered, D
         )
-        h_plain = fj.from_mont(fj.FR, h_mont)
 
-        asg = assignment_plain  # (n_pad, 16) — padding rows are zero scalars
-        aux = asg[num_inputs : num_inputs + aux_len]
-        aux = jnp.pad(aux, ((0, aux_pad - aux_len), (0, 0)))
-        h_sc = h_plain[:h_len]
-        h_sc = jnp.pad(h_sc, ((0, h_pad - h_len), (0, 0)))
+    def g2_body(xs, ys, sc):
+        jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, xs, ys)
+        sums = msm_ops.window_sums_impl(cj.FQ2_ADAPTER, jac, sc, window_bits)
+        gathered = jax.lax.all_gather(sums, SHARD_AXIS)
+        return segments.tree_fold(
+            lambda a, b: cj.add(cj.FQ2_ADAPTER, a, b), gathered, D
+        )
 
-        return {
-            "a": sharded_msm(cj.FQ_ADAPTER, a_q, asg),
-            "b1": sharded_msm(cj.FQ_ADAPTER, b1_q, asg),
-            "b2": sharded_msm(cj.FQ2_ADAPTER, b2_q, asg),
-            "l": sharded_msm(cj.FQ_ADAPTER, l_q, aux),
-            "h": sharded_msm(cj.FQ_ADAPTER, h_q, h_sc),
-        }
+    sp_g1 = P(None, SHARD_AXIS)
+    sp_g2 = P(SHARD_AXIS)
+    g1_sm = shmap(g1_body, mesh=mesh, in_specs=(sp_g1, sp_g1, sp_g1), out_specs=P())
+    g2_sm = shmap(g2_body, mesh=mesh, in_specs=(sp_g2, sp_g2, sp_g2), out_specs=P())
+
+    def step(asg_plain):  # (n_vars, 16) uint32, replicated
+        asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
+        h_plain = fj.from_mont_impl(fj.FR, gj._witness_map_mont(dpk, asg_mont))
+        sc = gj._scalar_stack(dpk, asg_plain, h_plain)  # (4, n_max, 16)
+        sc = jnp.pad(sc, ((0, 0), (0, n_pad - n_max), (0, 0)))
+        g1_sums = g1_sm(g1_x, g1_y, sc)
+        sc2 = jnp.pad(
+            asg_plain[:g2_len], ((0, g2_pad - min(g2_len, asg_plain.shape[0])), (0, 0))
+        )
+        g2_sums = g2_sm(g2_x, g2_y, sc2)
+        return g1_sums, g2_sums
 
     return ShardedProver(
-        dpk=dpk,
-        mesh=mesh,
-        window_bits=window_bits,
-        step=jax.jit(step),
-        n_vars_padded=n_pad,
+        dpk=dpk, mesh=mesh, window_bits=window_bits, step=jax.jit(step)
     )
 
 
 def prove_sharded(
-    dpk: DeviceProvingKey,
+    dpk: gj.DeviceProvingKey,
     prover: ShardedProver,
     r: int,
     s: int,
@@ -141,27 +109,8 @@ def prove_sharded(
 ):
     """Host wrapper: sharded window sums -> host fold -> (A, B, C)."""
     from ..constants import R_SCALAR
-    from ..models.groth16 import Proof
-    from ..refmath import curve as rc
 
     assignment = [int(a) % R_SCALAR for a in full_assignment]
-    asg_plain = fj.encode_plain(assignment)
-    sums = prover.window_sums(asg_plain)
-    wb = prover.window_bits
-
-    g_a_msm = msm_ops._fold_windows_host(cj.decode_g1(sums["a"]), rc.G1, wb)
-    g_b1_msm = msm_ops._fold_windows_host(cj.decode_g1(sums["b1"]), rc.G1, wb)
-    g_b2_msm = msm_ops._fold_windows_host(cj.decode_g2(sums["b2"]), rc.G2, wb)
-    g_l = msm_ops._fold_windows_host(cj.decode_g1(sums["l"]), rc.G1, wb)
-    g_h = msm_ops._fold_windows_host(cj.decode_g1(sums["h"]), rc.G1, wb)
-
-    pk = dpk.pk
-    g1o, g2o = rc.G1, rc.G2
-    g_a = g1o.add(g1o.add(g_a_msm, pk.vk.alpha_g1), g1o.mul(pk.delta_g1, r))
-    g_b1 = g1o.add(g1o.add(g_b1_msm, pk.beta_g1), g1o.mul(pk.delta_g1, s))
-    g_b2 = g2o.add(g2o.add(g_b2_msm, pk.vk.beta_g2), g2o.mul(pk.vk.delta_g2, s))
-    g_c = g1o.add(g_l, g_h)
-    g_c = g1o.add(g_c, g1o.mul(g_a, s))
-    g_c = g1o.add(g_c, g1o.mul(g_b1, r))
-    g_c = g1o.add(g_c, g1o.mul(pk.delta_g1, (-r * s) % R_SCALAR))
-    return Proof(a=g_a, b=g_b2, c=g_c)
+    asg_plain = jnp.asarray(fj.encode_plain(assignment))
+    g1_sums, g2_sums = prover.step(asg_plain)
+    return gj.assemble_proof(dpk, r, s, g1_sums, g2_sums, prover.window_bits)
