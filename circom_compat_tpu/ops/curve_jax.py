@@ -222,7 +222,9 @@ def add(F: FieldAdapter, p: Point, q: Point) -> Point:
     Z3 = F.mul(F.mul(Z1, Z2), H)
     gen = (X3, Y3, Z3)
 
-    dbl = double(F, p)
+    # call the un-jitted body: this function must stay lowerable inside
+    # Pallas kernels (ops/curve_pallas.py), where a pjit primitive is not.
+    dbl = double_impl(F, p)
 
     p_inf = F.is_zero(Z1)
     q_inf = F.is_zero(Z2)

@@ -44,6 +44,24 @@ from . import limbs as limb_codec
 _MASK = np.uint32(LIMB_MASK)
 
 
+class _PallasMode:
+    """Trace-time flag: kernels in ops/*_pallas.py set this while tracing
+    their bodies so limb loops pick the Mosaic-friendly unroll."""
+
+    def __init__(self):
+        self.active = False
+
+    def __enter__(self):
+        self.active = True
+        return self
+
+    def __exit__(self, *exc):
+        self.active = False
+
+
+PALLAS_MODE = _PallasMode()
+
+
 # ---------------------------------------------------------------------------
 # Field specification
 # ---------------------------------------------------------------------------
@@ -165,7 +183,14 @@ def sub(field: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     guaranteed 1 in limb 16 of the 17-limb sum."""
     comp = _MASK - b  # limbwise complement: no borrows since b_i <= 0xffff
     shape = jnp.broadcast_shapes(a.shape, b.shape)
-    e0 = jnp.zeros(shape[:-1] + (NUM_LIMBS + 1,), jnp.uint32).at[..., 0].set(1)
+    # (no .at[].set here: that lowers to scatter, unsupported in Mosaic)
+    e0 = jnp.concatenate(
+        [
+            jnp.ones(shape[:-1] + (1,), jnp.uint32),
+            jnp.zeros(shape[:-1] + (NUM_LIMBS,), jnp.uint32),
+        ],
+        axis=-1,
+    )
     u = (
         _pad_top(jnp.broadcast_to(a, shape))
         + _pad_top(comp)
@@ -217,8 +242,7 @@ def mont_mul(field: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     def _shift_up17(x):  # (..., 16) -> (..., 17), limbs moved one up
         return jnp.concatenate([jnp.zeros_like(x[..., :1]), x], axis=-1)
 
-    def body(i, t):
-        bi = jax.lax.dynamic_slice_in_dim(b, i, 1, axis=-1)
+    def step(bi, t):
         prod = a * bi  # exact: < 2^32
         t = t + _pad_top(prod & _MASK) + _shift_up17(prod >> LIMB_BITS)
         m = ((t[..., 0:1] & _MASK) * np_) & _MASK
@@ -228,7 +252,19 @@ def mont_mul(field: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         t = _pad_top(t[..., 1:])  # shift one limb down
         return t + _pad_top(carry0, NUM_LIMBS)
 
-    t = jax.lax.fori_loop(0, NUM_LIMBS, body, t0, unroll=2)
+    if PALLAS_MODE.active:
+        # Inside Pallas kernels: static Python loop — the in-register chain
+        # Mosaic wants, and dynamic_slice (unsupported there) never appears.
+        t = t0
+        for i in range(NUM_LIMBS):
+            t = step(b[..., i : i + 1], t)
+    else:
+        # Plain XLA graphs: rolled loop — a 16x-unrolled flat graph repeated
+        # across every scan combine made compiles pathological.
+        def body(i, t):
+            return step(jax.lax.dynamic_slice_in_dim(b, i, 1, axis=-1), t)
+
+        t = jax.lax.fori_loop(0, NUM_LIMBS, body, t0)
     t = normalize_u(t)  # result < 2p < 2^255: limb 16 ends up 0
     return cond_sub_p(field, t[..., :16])
 

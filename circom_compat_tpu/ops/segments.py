@@ -40,17 +40,16 @@ def _broadcast_ident(identity: Any, values: Any) -> Any:
     )
 
 
-def segmented_scan(
+def _hillis_steele_segmented(
     combine: Callable[[Any, Any], Any],
     values: Any,
     flags: jnp.ndarray,
     identity: Any,
 ) -> Any:
-    """Inclusive scan of `values` restarting at every True flag.
+    """Inclusive segmented scan, Hillis-Steele in ONE fori_loop.
 
-    identity: pytree of arrays broadcastable to each leaf's element shape
-    (it is shifted in at the boundary and must satisfy combine(id, x) == x).
-    """
+    O(n log n) combine work but a single combine instantiation in the graph
+    — used for short axes (tile carries, bucket suffix sums)."""
     n = flags.shape[0]
     if n == 0:
         return values
@@ -83,6 +82,110 @@ def segmented_scan(
 
     (scanned, _), = (jax.lax.fori_loop(0, steps, body, (values, flags)),)
     return scanned
+
+
+def segmented_scan(
+    combine: Callable[[Any, Any], Any],
+    values: Any,
+    flags: jnp.ndarray,
+    identity: Any,
+    tile: int = 16,
+) -> Any:
+    """Inclusive scan of `values` restarting at every True flag.
+
+    Two-level work-efficient form: a sequential within-tile scan (fori over
+    `tile` steps, full width), a tile-level segmented scan of the carries
+    (Hillis-Steele over n/tile elements), and one carry-apply combine —
+    ~2.4n combines total vs n*log2(n) for flat Hillis-Steele, with three
+    combine instantiations in the graph.
+
+    identity: pytree of arrays broadcastable to each leaf's element shape,
+    satisfying combine(id, x) == x.
+    """
+    n = flags.shape[0]
+    if n <= tile * 2:
+        return _hillis_steele_segmented(combine, values, flags, identity)
+
+    K = tile
+    T = -(-n // K)
+    pad = T * K - n
+
+    def pad_leaf(leaf, ident_leaf):
+        if pad == 0:
+            return leaf
+        block = jnp.broadcast_to(
+            ident_leaf, (pad,) + leaf.shape[1:]
+        ).astype(leaf.dtype)
+        return jnp.concatenate([leaf, block], axis=0)
+
+    ident_block = _broadcast_ident(identity, values)
+    v = tree_map(
+        lambda leaf, ib: pad_leaf(leaf, ib[:1]), values, ident_block
+    )
+    f = jnp.concatenate([flags, jnp.ones((pad,), flags.dtype)]) if pad else flags
+
+    vt = tree_map(lambda x: x.reshape((T, K) + x.shape[1:]), v)
+    ft = f.reshape(T, K)
+
+    # Phase A: within-tile sequential inclusive segmented scan.
+    ident_tile = tree_map(
+        lambda i, x: jnp.broadcast_to(jnp.asarray(i), x[:, 0].shape).astype(x.dtype),
+        identity,
+        vt,
+    )
+
+    def body_a(k, carry):
+        out, acc = carry
+        vk = tree_map(lambda x: jax.lax.dynamic_index_in_dim(x, k, 1, False), vt)
+        fk = jax.lax.dynamic_index_in_dim(ft, k, 1, False)  # (T,)
+        merged = combine(acc, vk)
+        acc = tree_map(
+            lambda m, y: jnp.where(
+                fk.reshape(fk.shape + (1,) * (y.ndim - fk.ndim)), y, m
+            ),
+            merged,
+            vk,
+        )
+        out = tree_map(
+            lambda o, a: jax.lax.dynamic_update_index_in_dim(o, a, k, 1), out, acc
+        )
+        return out, acc
+
+    out0 = tree_map(jnp.zeros_like, vt)
+    (out, tile_carry) = jax.lax.fori_loop(0, K, body_a, (out0, ident_tile))
+
+    # Phase B: segmented scan of tile carries; exclusive carry into each tile.
+    tile_has_flag = ft.any(axis=1)
+    carries_scanned = _hillis_steele_segmented(
+        combine, tile_carry, tile_has_flag, identity
+    )
+    carry_in = tree_map(
+        lambda c, il: jnp.concatenate(
+            [jnp.broadcast_to(il, (1,) + c.shape[1:]).astype(c.dtype), c[:-1]],
+            axis=0,
+        ),
+        carries_scanned,
+        _broadcast_ident(identity, tree_map(lambda x: x[:1], tile_carry)),
+    )
+
+    # Phase C: apply carry to positions before each tile's first flag.
+    no_flag_yet = jnp.cumsum(ft.astype(jnp.int32), axis=1) == 0  # (T, K)
+    carry_b = tree_map(
+        lambda c, o: jnp.broadcast_to(c[:, None], o.shape).astype(o.dtype),
+        carry_in,
+        out,
+    )
+    merged = combine(carry_b, out)
+    out = tree_map(
+        lambda m, o: jnp.where(
+            no_flag_yet.reshape(no_flag_yet.shape + (1,) * (o.ndim - 2)), m, o
+        ),
+        merged,
+        out,
+    )
+
+    result = tree_map(lambda x: x.reshape((T * K,) + x.shape[2:])[:n], out)
+    return result
 
 
 def inclusive_scan(combine: Callable, values: Any, identity: Any) -> Any:

@@ -85,7 +85,19 @@ class WitnessCalculator:
             # the reference allocates a 2000-page host memory for this ABI
             imports[("env", "memory")] = Memory(2000)
 
-        self.instance: Instance = Instance(module, imports)
+        # Prefer the native C++ execution engine (native/wasm_vm.cpp, the
+        # Wasmer-equivalent of the reference stack); fall back to the pure-
+        # Python interpreter on any setup failure or CIRCOM_TPU_NATIVE=0.
+        self.instance = None
+        from .wasm import native as _native
+
+        if _native.native_available():
+            try:
+                self.instance = _native.NativeInstance(module, imports)
+            except Exception:
+                self.instance = None
+        if self.instance is None:
+            self.instance = Instance(module, imports)
         self.legacy = not self.instance.has_export("setInputSignal")
 
         if self.legacy:
