@@ -1,0 +1,221 @@
+"""Command-line interface: snarkjs-compatible witness/prove/verify flows.
+
+The reference lists a CLI as an unchecked roadmap item (reference:
+README.md:67 "CLI for common operations"); this provides one with
+snarkjs-interchangeable file formats:
+
+  python -m circom_compat_tpu witness <circuit.wasm> <input.json> <out.wtns>
+  python -m circom_compat_tpu prove   <circuit.zkey> <witness.wtns> \
+                                      <proof.json> <public.json> [--backend jax]
+  python -m circom_compat_tpu verify  <verification_key.json> <public.json> \
+                                      <proof.json>
+  python -m circom_compat_tpu export-vkey <circuit.zkey> <verification_key.json>
+  python -m circom_compat_tpu setup   <circuit.r1cs> <circuit.wasm> (dev-mode)
+
+proof.json / public.json / verification_key.json match snarkjs's JSON
+schema (decimal strings, G2 as [[c0,c1],...] with the JSON convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List
+
+
+def _fmt_g1(p) -> List[str]:
+    if p is None:
+        return ["0", "1", "0"]
+    return [str(p[0]), str(p[1]), "1"]
+
+
+def _fmt_g2(p) -> List[List[str]]:
+    if p is None:
+        return [["0", "0"], ["1", "0"], ["0", "0"]]
+    (x0, x1), (y0, y1) = p
+    return [[str(x0), str(x1)], [str(y0), str(y1)], ["1", "0"]]
+
+
+def _parse_g1(v):
+    x, y, z = (int(c) for c in v)
+    if z == 0:
+        return None
+    return (x, y)
+
+
+def _parse_g2(v):
+    (x0, x1), (y0, y1), (z0, z1) = ((int(a), int(b)) for a, b in v)
+    if z0 == 0 and z1 == 0:
+        return None
+    return ((x0, x1), (y0, y1))
+
+
+def _proof_to_json(proof) -> dict:
+    return {
+        "pi_a": _fmt_g1(proof.a),
+        "pi_b": _fmt_g2(proof.b),
+        "pi_c": _fmt_g1(proof.c),
+        "protocol": "groth16",
+        "curve": "bn128",
+    }
+
+
+def _proof_from_json(d):
+    from .models.groth16 import Proof
+
+    return Proof(
+        a=_parse_g1(d["pi_a"]), b=_parse_g2(d["pi_b"]), c=_parse_g1(d["pi_c"])
+    )
+
+
+def _vk_to_json(vk) -> dict:
+    return {
+        "protocol": "groth16",
+        "curve": "bn128",
+        "nPublic": len(vk.gamma_abc_g1) - 1,
+        "vk_alpha_1": _fmt_g1(vk.alpha_g1),
+        "vk_beta_2": _fmt_g2(vk.beta_g2),
+        "vk_gamma_2": _fmt_g2(vk.gamma_g2),
+        "vk_delta_2": _fmt_g2(vk.delta_g2),
+        "IC": [_fmt_g1(p) for p in vk.gamma_abc_g1],
+    }
+
+
+def _vk_from_json(d):
+    from .circom.zkey import VerifyingKey
+
+    return VerifyingKey(
+        alpha_g1=_parse_g1(d["vk_alpha_1"]),
+        beta_g2=_parse_g2(d["vk_beta_2"]),
+        gamma_g2=_parse_g2(d["vk_gamma_2"]),
+        delta_g2=_parse_g2(d["vk_delta_2"]),
+        gamma_abc_g1=[_parse_g1(p) for p in d["IC"]],
+    )
+
+
+def cmd_witness(args) -> int:
+    from .circom.wtns import write_wtns
+    from .witness import WitnessCalculator
+
+    wc = WitnessCalculator.from_file(args.wasm)
+    inputs = json.load(open(args.inputs))
+    witness = wc.calculate_witness(inputs, sanity_check=args.sanity_check)
+    write_wtns(witness, args.out)
+    print(f"wrote {len(witness)} witness values to {args.out}")
+    return 0
+
+
+def cmd_prove(args) -> int:
+    from .circom.wtns import read_wtns
+    from .circom.zkey import read_zkey
+    from .models import Groth16
+
+    pk, matrices = read_zkey(args.zkey)
+    witness = read_wtns(args.witness)
+    proof = Groth16.create_proof_with_reduction_and_matrices(
+        pk,
+        Groth16_random(), Groth16_random(),
+        matrices,
+        matrices.num_instance_variables,
+        matrices.num_constraints,
+        witness,
+        backend=args.backend,
+    )
+    public = witness[1 : matrices.num_instance_variables]
+    json.dump(_proof_to_json(proof), open(args.proof, "w"), indent=1)
+    json.dump([str(v) for v in public], open(args.public, "w"), indent=1)
+    print(f"wrote {args.proof}, {args.public}")
+    return 0
+
+
+def Groth16_random():
+    from .models.groth16 import random_scalar
+
+    return random_scalar()
+
+
+def cmd_verify(args) -> int:
+    from .models import Groth16
+
+    d = json.load(open(args.vkey))
+    if "IC" in d:
+        vk = _vk_from_json(d)
+    else:
+        from .circom.zkey import read_zkey
+
+        vk = read_zkey(args.vkey)[0].vk
+    public = [int(v) for v in json.load(open(args.public))]
+    proof = _proof_from_json(json.load(open(args.proof)))
+    ok = Groth16.verify_proof(vk, proof, public)
+    print("OK!" if ok else "INVALID proof")
+    return 0 if ok else 1
+
+
+def cmd_export_vkey(args) -> int:
+    from .circom.zkey import read_zkey
+
+    pk, _ = read_zkey(args.zkey)
+    json.dump(_vk_to_json(pk.vk), open(args.out, "w"), indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_setup(args) -> int:
+    from .circom.builder import CircomConfig
+    from .circom.circuit import CircomCircuit
+    from .circom.r1cs import read_r1cs
+    from .models import generate_random_parameters
+
+    circuit = CircomCircuit(r1cs=read_r1cs(args.r1cs))
+    pk = generate_random_parameters(circuit)
+    json.dump(_vk_to_json(pk.vk), open(args.vkey_out, "w"), indent=1)
+    print(
+        f"dev-mode setup: {pk.n_vars} vars, domain {pk.domain_size}; "
+        f"wrote {args.vkey_out} (keep the ProvingKey in-process — "
+        "zkey serialization lands in a later revision)"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="circom_compat_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("witness", help="run the WASM witness generator")
+    w.add_argument("wasm")
+    w.add_argument("inputs")
+    w.add_argument("out")
+    w.add_argument("--sanity-check", action="store_true")
+    w.set_defaults(fn=cmd_witness)
+
+    p = sub.add_parser("prove", help="Groth16 prove from zkey + wtns")
+    p.add_argument("zkey")
+    p.add_argument("witness")
+    p.add_argument("proof")
+    p.add_argument("public")
+    p.add_argument("--backend", default="host", choices=["host", "jax"])
+    p.set_defaults(fn=cmd_prove)
+
+    v = sub.add_parser("verify", help="verify a proof")
+    v.add_argument("vkey")
+    v.add_argument("public")
+    v.add_argument("proof")
+    v.set_defaults(fn=cmd_verify)
+
+    e = sub.add_parser("export-vkey", help="zkey -> verification_key.json")
+    e.add_argument("zkey")
+    e.add_argument("out")
+    e.set_defaults(fn=cmd_export_vkey)
+
+    s = sub.add_parser("setup", help="dev-mode trusted setup from r1cs")
+    s.add_argument("r1cs")
+    s.add_argument("vkey_out")
+    s.set_defaults(fn=cmd_setup)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
