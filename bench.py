@@ -28,6 +28,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from circom_compat_tpu.constants import R_SCALAR
     from circom_compat_tpu.ops import curve_jax as cj
     from circom_compat_tpu.ops import field_jax as fj

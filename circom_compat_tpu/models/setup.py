@@ -114,14 +114,13 @@ def generate_parameters(
     gamma_inv = pow(gamma, -1, R_SCALAR)
     delta_inv = pow(delta, -1, R_SCALAR)
 
-    g1 = rc.g1_generator()
-    g2 = rc.g2_generator()
-
-    def g1mul(k):
-        return rc.G1.mul(g1, k % R_SCALAR)
-
-    def g2mul(k):
-        return rc.G2.mul(g2, k % R_SCALAR)
+    # Fixed-base Jacobian ladders: the setup does ~5*n_vars generator
+    # multiplications; affine double-and-add with per-step inversions would
+    # dominate wall-clock for real circuit sizes.
+    g1_ladder = rc.FixedBaseLadder(rc.G1, rc.g1_generator())
+    g2_ladder = rc.FixedBaseLadder(rc.G2, rc.g2_generator())
+    g1mul = g1_ladder.mul
+    g2mul = g2_ladder.mul
 
     # gamma_abc (IC, public) and l_query (aux) combine beta*a + alpha*b + c.
     combined = [

@@ -130,6 +130,91 @@ def g2_generator():
     return G2_GEN
 
 
+class FixedBaseLadder:
+    """Fast repeated scalar-mul of one base point: precomputed 2^i multiples
+    plus Jacobian accumulation (no per-add field inversion). Used by the
+    dev-mode trusted setup (models/setup.py) which performs ~5 * n_vars
+    scalar muls of the generators."""
+
+    def __init__(self, curve: _CurveOps, base, bits: int = 256):
+        self.c = curve
+        self.table = []
+        p = base
+        for _ in range(bits):
+            self.table.append(p)
+            p = curve.double(p)
+
+    def mul(self, k: int):
+        c = self.c
+        # Jacobian accumulator (X, Y, Z); None = infinity
+        acc = None
+        i = 0
+        k %= R_SCALAR
+        while k:
+            if k & 1:
+                acc = self._mixed_add(acc, self.table[i])
+            k >>= 1
+            i += 1
+        return self._to_affine(acc)
+
+    def _mixed_add(self, acc, q_affine):
+        c = self.c
+        if q_affine is None:
+            return acc
+        x2, y2 = q_affine
+        if acc is None:
+            return (x2, y2, c.one)
+        X1, Y1, Z1 = acc
+        Z1Z1 = c.fsq(Z1)
+        U2 = c.fmul(x2, Z1Z1)
+        S2 = c.fmul(y2, c.fmul(Z1, Z1Z1))
+        if U2 == X1:
+            if S2 == Y1:
+                return self._jac_double(acc)
+            return None
+        H = c.fsub(U2, X1)
+        HH = c.fsq(H)
+        I = c.fadd(c.fadd(HH, HH), c.fadd(HH, HH))
+        J = c.fmul(H, I)
+        r = c.fsub(S2, Y1)
+        r = c.fadd(r, r)
+        V = c.fmul(X1, I)
+        X3 = c.fsub(c.fsub(c.fsq(r), J), c.fadd(V, V))
+        Y3 = c.fsub(c.fmul(r, c.fsub(V, X3)), c.fadd(c.fmul(Y1, J), c.fmul(Y1, J)))
+        Z3 = c.fsub(c.fsub(c.fsq(c.fadd(Z1, H)), Z1Z1), HH)  # (Z1+H)^2 - Z1Z1 - HH
+        return (X3, Y3, Z3)
+
+    def _jac_double(self, acc):
+        c = self.c
+        X, Y, Z = acc
+        A = c.fsq(X)
+        B = c.fsq(Y)
+        C_ = c.fsq(B)
+        t = c.fsq(c.fadd(X, B))
+        D = c.fsub(c.fsub(t, A), C_)
+        D = c.fadd(D, D)
+        E = c.fadd(c.fadd(A, A), A)
+        F = c.fsq(E)
+        X3 = c.fsub(F, c.fadd(D, D))
+        eight_c = c.fadd(C_, C_)
+        eight_c = c.fadd(eight_c, eight_c)
+        eight_c = c.fadd(eight_c, eight_c)
+        Y3 = c.fsub(c.fmul(E, c.fsub(D, X3)), eight_c)
+        Z3 = c.fmul(c.fadd(Y, Y), Z)
+        return (X3, Y3, Z3)
+
+    def _to_affine(self, acc):
+        if acc is None:
+            return None
+        c = self.c
+        X, Y, Z = acc
+        if c.fis_zero(Z):
+            return None
+        zinv = c.finv(Z)
+        zinv2 = c.fsq(zinv)
+        return (c.fmul(X, zinv2), c.fmul(Y, c.fmul(zinv2, zinv)))
+
+
 def g1_in_correct_subgroup(p) -> bool:
     return G1.is_on_curve(p)
 
