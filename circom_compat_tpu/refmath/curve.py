@@ -78,14 +78,118 @@ class _CurveOps:
             k >>= 1
         return result
 
+    # ---- Jacobian helpers (no per-op field inversion) --------------------
+
+    def jac_double(self, acc):
+        if acc is None:
+            return None
+        c = self
+        X, Y, Z = acc
+        A = c.fsq(X)
+        B = c.fsq(Y)
+        C_ = c.fsq(B)
+        D = c.fsub(c.fsub(c.fsq(c.fadd(X, B)), A), C_)
+        D = c.fadd(D, D)
+        E = c.fadd(c.fadd(A, A), A)
+        F = c.fsq(E)
+        X3 = c.fsub(F, c.fadd(D, D))
+        eight_c = c.fadd(C_, C_)
+        eight_c = c.fadd(eight_c, eight_c)
+        eight_c = c.fadd(eight_c, eight_c)
+        Y3 = c.fsub(c.fmul(E, c.fsub(D, X3)), eight_c)
+        Z3 = c.fmul(c.fadd(Y, Y), Z)
+        return (X3, Y3, Z3)
+
+    def jac_mixed_add(self, acc, q_affine):
+        """acc (Jacobian|None) + q (affine|None), madd-2007-bl."""
+        c = self
+        if q_affine is None:
+            return acc
+        x2, y2 = q_affine
+        if acc is None:
+            return (x2, y2, c.one)
+        X1, Y1, Z1 = acc
+        Z1Z1 = c.fsq(Z1)
+        U2 = c.fmul(x2, Z1Z1)
+        S2 = c.fmul(y2, c.fmul(Z1, Z1Z1))
+        if U2 == X1:
+            if S2 == Y1:
+                return self.jac_double(acc)
+            return None
+        H = c.fsub(U2, X1)
+        HH = c.fsq(H)
+        I = c.fadd(c.fadd(HH, HH), c.fadd(HH, HH))
+        J = c.fmul(H, I)
+        r = c.fsub(S2, Y1)
+        r = c.fadd(r, r)
+        V = c.fmul(X1, I)
+        X3 = c.fsub(c.fsub(c.fsq(r), J), c.fadd(V, V))
+        YJ = c.fmul(Y1, J)
+        Y3 = c.fsub(c.fmul(r, c.fsub(V, X3)), c.fadd(YJ, YJ))
+        Z3 = c.fsub(c.fsub(c.fsq(c.fadd(Z1, H)), Z1Z1), HH)
+        return (X3, Y3, Z3)
+
+    def jac_add(self, p, q):
+        """General Jacobian + Jacobian (add-2007-bl), None = infinity."""
+        if p is None:
+            return q
+        if q is None:
+            return p
+        c = self
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1 = c.fsq(Z1)
+        Z2Z2 = c.fsq(Z2)
+        U1 = c.fmul(X1, Z2Z2)
+        U2 = c.fmul(X2, Z1Z1)
+        S1 = c.fmul(Y1, c.fmul(Z2, Z2Z2))
+        S2 = c.fmul(Y2, c.fmul(Z1, Z1Z1))
+        if U1 == U2:
+            if S1 == S2:
+                return self.jac_double(p)
+            return None
+        H = c.fsub(U2, U1)
+        HH = c.fsq(H)
+        HHH = c.fmul(H, HH)
+        V = c.fmul(U1, HH)
+        r = c.fsub(S2, S1)
+        X3 = c.fsub(c.fsub(c.fsq(r), HHH), c.fadd(V, V))
+        Y3 = c.fsub(c.fmul(r, c.fsub(V, X3)), c.fmul(S1, HHH))
+        Z3 = c.fmul(c.fmul(Z1, Z2), H)
+        return (X3, Y3, Z3)
+
+    def jac_to_affine(self, acc):
+        if acc is None:
+            return None
+        c = self
+        X, Y, Z = acc
+        if c.fis_zero(Z):
+            return None
+        zinv = c.finv(Z)
+        zinv2 = c.fsq(zinv)
+        return (c.fmul(X, zinv2), c.fmul(Y, c.fmul(zinv2, zinv)))
+
     def msm(self, points, scalars):
-        """Naive multi-scalar multiplication (reference only; device MSM in ops/msm.py)."""
+        """Host reference MSM: per-point Jacobian double-and-add, one final
+        affine conversion (the device MSM lives in ops/msm.py)."""
         acc = None
         for p, s in zip(points, scalars):
-            if s % R_SCALAR == 0 or p is None:
+            s %= R_SCALAR
+            if s == 0 or p is None:
                 continue
-            acc = self.add(acc, self.mul(p, s))
-        return acc
+            # Jacobian double-and-add, LSB first with an affine addend table
+            # replaced by doubling the running point.
+            addend = (p[0], p[1], self.one)
+            term = None
+            k = s
+            while k:
+                if k & 1:
+                    term = self.jac_add(term, addend)
+                k >>= 1
+                if k:
+                    addend = self.jac_double(addend)
+            acc = self.jac_add(acc, term)
+        return self.jac_to_affine(acc)
 
 
 def _fq_add(a, b):
@@ -146,73 +250,15 @@ class FixedBaseLadder:
 
     def mul(self, k: int):
         c = self.c
-        # Jacobian accumulator (X, Y, Z); None = infinity
         acc = None
         i = 0
         k %= R_SCALAR
         while k:
             if k & 1:
-                acc = self._mixed_add(acc, self.table[i])
+                acc = c.jac_mixed_add(acc, self.table[i])
             k >>= 1
             i += 1
-        return self._to_affine(acc)
-
-    def _mixed_add(self, acc, q_affine):
-        c = self.c
-        if q_affine is None:
-            return acc
-        x2, y2 = q_affine
-        if acc is None:
-            return (x2, y2, c.one)
-        X1, Y1, Z1 = acc
-        Z1Z1 = c.fsq(Z1)
-        U2 = c.fmul(x2, Z1Z1)
-        S2 = c.fmul(y2, c.fmul(Z1, Z1Z1))
-        if U2 == X1:
-            if S2 == Y1:
-                return self._jac_double(acc)
-            return None
-        H = c.fsub(U2, X1)
-        HH = c.fsq(H)
-        I = c.fadd(c.fadd(HH, HH), c.fadd(HH, HH))
-        J = c.fmul(H, I)
-        r = c.fsub(S2, Y1)
-        r = c.fadd(r, r)
-        V = c.fmul(X1, I)
-        X3 = c.fsub(c.fsub(c.fsq(r), J), c.fadd(V, V))
-        Y3 = c.fsub(c.fmul(r, c.fsub(V, X3)), c.fadd(c.fmul(Y1, J), c.fmul(Y1, J)))
-        Z3 = c.fsub(c.fsub(c.fsq(c.fadd(Z1, H)), Z1Z1), HH)  # (Z1+H)^2 - Z1Z1 - HH
-        return (X3, Y3, Z3)
-
-    def _jac_double(self, acc):
-        c = self.c
-        X, Y, Z = acc
-        A = c.fsq(X)
-        B = c.fsq(Y)
-        C_ = c.fsq(B)
-        t = c.fsq(c.fadd(X, B))
-        D = c.fsub(c.fsub(t, A), C_)
-        D = c.fadd(D, D)
-        E = c.fadd(c.fadd(A, A), A)
-        F = c.fsq(E)
-        X3 = c.fsub(F, c.fadd(D, D))
-        eight_c = c.fadd(C_, C_)
-        eight_c = c.fadd(eight_c, eight_c)
-        eight_c = c.fadd(eight_c, eight_c)
-        Y3 = c.fsub(c.fmul(E, c.fsub(D, X3)), eight_c)
-        Z3 = c.fmul(c.fadd(Y, Y), Z)
-        return (X3, Y3, Z3)
-
-    def _to_affine(self, acc):
-        if acc is None:
-            return None
-        c = self.c
-        X, Y, Z = acc
-        if c.fis_zero(Z):
-            return None
-        zinv = c.finv(Z)
-        zinv2 = c.fsq(zinv)
-        return (c.fmul(X, zinv2), c.fmul(Y, c.fmul(zinv2, zinv)))
+        return c.jac_to_affine(acc)
 
 
 def g1_in_correct_subgroup(p) -> bool:

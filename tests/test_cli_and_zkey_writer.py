@@ -1,0 +1,78 @@
+"""CLI flows + zkey writer round-trip against the snarkjs golden fixtures."""
+
+import io
+import json
+
+import pytest
+
+from circom_compat_tpu import CircomBuilder, CircomConfig, read_zkey
+from circom_compat_tpu.circom.zkey_writer import write_zkey
+from circom_compat_tpu.cli import main
+from circom_compat_tpu.models import Groth16, generate_parameters
+
+
+@pytest.fixture(scope="module")
+def circuit(test_vectors):
+    cfg = CircomConfig(
+        test_vectors / "mycircuit_js" / "mycircuit.wasm",
+        test_vectors / "mycircuit.r1cs",
+    )
+    b = CircomBuilder(cfg)
+    b.push_input("a", 3)
+    b.push_input("b", 11)
+    return b.build()
+
+
+def test_cli_full_flow(tmp_path, test_vectors):
+    inp = tmp_path / "in.json"
+    json.dump({"a": 3, "b": 11}, open(inp, "w"))
+    wasm = str(test_vectors / "mycircuit_js" / "mycircuit.wasm")
+    zkey = str(test_vectors / "test.zkey")
+    assert main(["witness", wasm, str(inp), str(tmp_path / "w.wtns")]) == 0
+    assert main(["export-vkey", zkey, str(tmp_path / "vk.json")]) == 0
+    assert main([
+        "prove", zkey, str(tmp_path / "w.wtns"),
+        str(tmp_path / "proof.json"), str(tmp_path / "public.json"),
+    ]) == 0
+    assert main([
+        "verify", str(tmp_path / "vk.json"),
+        str(tmp_path / "public.json"), str(tmp_path / "proof.json"),
+    ]) == 0
+    # tampered public input must fail
+    json.dump(["34"], open(tmp_path / "public.json", "w"))
+    assert main([
+        "verify", str(tmp_path / "vk.json"),
+        str(tmp_path / "public.json"), str(tmp_path / "proof.json"),
+    ]) == 1
+
+
+def test_cli_export_vkey_matches_snarkjs_golden(tmp_path, test_vectors):
+    out = tmp_path / "vk.json"
+    assert main(["export-vkey", str(test_vectors / "test.zkey"), str(out)]) == 0
+    golden = json.load(open(test_vectors / "verification_key.json"))
+    ours = json.load(open(out))
+    for key in ("vk_alpha_1", "vk_beta_2", "vk_gamma_2", "vk_delta_2", "IC"):
+        assert ours[key] == golden[key], key
+
+
+def test_zkey_writer_roundtrip(circuit):
+    pk = generate_parameters(circuit, alpha=11, beta=22, gamma=33, delta=44, t=55)
+    ma, mb, _ = circuit.to_matrices()
+    buf = io.BytesIO()
+    write_zkey(buf, pk, ma, mb, len(ma))
+    buf.seek(0)
+    pk2, matrices2 = read_zkey(buf)
+
+    assert pk2.n_vars == pk.n_vars
+    assert pk2.n_public == pk.n_public
+    assert pk2.domain_size == pk.domain_size
+    assert matrices2.num_constraints == len(ma)
+    assert pk2.vk.gamma_abc_g1 == pk.vk.gamma_abc_g1
+    assert pk2.a_query.points == pk.a_query.points
+    assert pk2.b_g2_query.points == pk.b_g2_query.points
+
+    full = circuit.full_assignment()
+    args = (pk2, 5, 7, matrices2, matrices2.num_instance_variables,
+            matrices2.num_constraints, full)
+    proof = Groth16.create_proof_with_reduction_and_matrices(*args)
+    assert Groth16.verify_proof(pk2.vk, proof, circuit.get_public_inputs())
