@@ -331,11 +331,11 @@ class BinFile:
 
 def _mont_strip_once_r(values_u16: np.ndarray) -> np.ndarray:
     """(n,16) uint16 raw Fr values (v*R^2) -> (n,16) uint16 (v*R mod r)."""
-    out = np.empty_like(values_u16)
-    for i, row in enumerate(values_u16):
-        v = (limb_codec.limbs_to_int(row) * MONT_R_INV_R) % R_SCALAR
-        out[i] = limb_codec.int_to_limbs(v, dtype=np.uint16)
-    return out
+    from ..constants import NPRIME_R
+
+    return limb_codec.mont_strip_np(
+        np.ascontiguousarray(values_u16), R_SCALAR, NPRIME_R
+    )
 
 
 class HeaderGroth:

@@ -76,3 +76,49 @@ def bytes_to_limbs(buf: bytes, count: int) -> np.ndarray:
 def limbs_to_bytes(limbs: np.ndarray) -> bytes:
     """(N, NUM_LIMBS) limb array -> concatenated 32-byte LE encodings."""
     return np.ascontiguousarray(limbs.astype("<u2")).tobytes()
+
+
+def mont_strip_np(values: np.ndarray, p: int, nprime: int) -> np.ndarray:
+    """Vectorized Montgomery strip: (n, 16) uint16 limbs of v -> v*R^-1 mod p.
+
+    Pure-numpy uint64 reduction (16 iterations, lazy carries) — replaces
+    per-element Python bigint loops on multi-MB zkey coefficient sections.
+    """
+    mask = np.uint64(LIMB_MASK)
+    shift = np.uint64(LIMB_BITS)
+    p_limbs = int_to_limbs(p).astype(np.uint64)
+    pc_limbs = int_to_limbs((1 << 256) - p).astype(np.uint64)
+    np_ = np.uint64(nprime)
+
+    t = values.astype(np.uint64)  # (n, 16); limbs stay < 2^40 throughout
+    n = t.shape[0]
+    zeros_col = np.zeros((n, 1), np.uint64)
+    for _ in range(NUM_LIMBS):
+        m = (t[:, 0] * np_) & mask
+        t = t + m[:, None] * p_limbs
+        carry = t[:, 0] >> shift  # low 16 bits are 0 by construction
+        t = np.concatenate([t[:, 1:], zeros_col], axis=1)
+        t[:, 0] += carry
+
+    # Carry-normalize (values < 2p after reduction; a few passes suffice
+    # since limbs are < 2^40 -> <= 2^16 after two passes, then ripple).
+    def normalize(x):
+        while (x >> shift).any():
+            lo = x & mask
+            hi = x >> shift
+            x = lo
+            x[:, 1:] += hi[:, :-1]
+        return x
+
+    t = normalize(t)
+    # conditional subtract p via the 2^256 - p trick in 17-limb space:
+    # the sum overflows into the guard limb iff t >= p.
+    u17 = np.concatenate([t + pc_limbs, zeros_col], axis=1)
+    while (u17 >> shift).any():
+        lo = u17 & mask
+        hi = u17 >> shift
+        u17 = lo
+        u17[:, 1:] += hi[:, :-1]
+    ge = u17[:, 16] != 0
+    out = np.where(ge[:, None], u17[:, :16], t)
+    return out.astype(np.uint16)
