@@ -21,7 +21,7 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=16)
-    ap.add_argument("--window-bits", type=int, default=8)
+    ap.add_argument("--window-bits", type=int, default=13)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 

@@ -197,7 +197,17 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
     return core
 
 
-def get_prove_core(dpk: DeviceProvingKey, window_bits: int = 8):
+def default_window_bits() -> int:
+    """13-bit windows measured 1.26x over 8-bit on TPU (BASELINE.md); the
+    8192-bucket shapes are too heavy for the CPU-simulated test mesh."""
+    import jax
+
+    return 13 if jax.default_backend() != "cpu" else 8
+
+
+def get_prove_core(dpk: DeviceProvingKey, window_bits: Optional[int] = None):
+    if window_bits is None:
+        window_bits = default_window_bits()
     key = ("core", window_bits)
     if key not in dpk._cache:
         dpk._cache[key] = jax.jit(_prove_core(dpk, window_bits))
@@ -235,8 +245,10 @@ def prove_prepared(
     r: int,
     s: int,
     full_assignment: Sequence[int],
-    window_bits: int = 8,
+    window_bits: Optional[int] = None,
 ):
+    if window_bits is None:
+        window_bits = default_window_bits()
     assignment = [int(a) % R_SCALAR for a in full_assignment]
     asg_plain = jnp.asarray(fj.encode_plain(assignment))
     core = get_prove_core(dpk, window_bits)
@@ -252,7 +264,7 @@ def prove(
     num_inputs: int,
     num_constraints: int,
     full_assignment: Sequence[int],
-    window_bits: int = 8,
+    window_bits: Optional[int] = None,
 ):
     """Device-backed prove; drop-in for the host backend in models/groth16.py."""
     if isinstance(matrices, ConstraintMatrices):

@@ -39,8 +39,10 @@ class ShardedProver:
 
 
 def build_sharded_prover(
-    dpk: gj.DeviceProvingKey, mesh: Mesh, window_bits: int = 8
+    dpk: gj.DeviceProvingKey, mesh: Mesh, window_bits: int = None
 ) -> ShardedProver:
+    if window_bits is None:
+        window_bits = gj.default_window_bits()
     D = int(mesh.shape[SHARD_AXIS])
 
     n_max = dpk.g1_stack_x.shape[1]
