@@ -10,7 +10,7 @@ snarkjs-interchangeable file formats:
   python -m circom_compat_tpu verify  <verification_key.json> <public.json> \
                                       <proof.json>
   python -m circom_compat_tpu export-vkey <circuit.zkey> <verification_key.json>
-  python -m circom_compat_tpu setup   <circuit.r1cs> <circuit.wasm> (dev-mode)
+  python -m circom_compat_tpu setup   <circuit.r1cs> <out.zkey> [vk.json]
 
 proof.json / public.json / verification_key.json match snarkjs's JSON
 schema (decimal strings, G2 as [[c0,c1],...] with the JSON convention).
@@ -162,18 +162,20 @@ def cmd_export_vkey(args) -> int:
 
 
 def cmd_setup(args) -> int:
-    from .circom.builder import CircomConfig
     from .circom.circuit import CircomCircuit
     from .circom.r1cs import read_r1cs
+    from .circom.zkey_writer import write_zkey
     from .models import generate_random_parameters
 
     circuit = CircomCircuit(r1cs=read_r1cs(args.r1cs))
     pk = generate_random_parameters(circuit)
-    json.dump(_vk_to_json(pk.vk), open(args.vkey_out, "w"), indent=1)
+    ma, mb, _ = circuit.to_matrices()
+    write_zkey(args.zkey_out, pk, ma, mb, len(ma))
+    if args.vkey_out:
+        json.dump(_vk_to_json(pk.vk), open(args.vkey_out, "w"), indent=1)
     print(
         f"dev-mode setup: {pk.n_vars} vars, domain {pk.domain_size}; "
-        f"wrote {args.vkey_out} (keep the ProvingKey in-process — "
-        "zkey serialization lands in a later revision)"
+        f"wrote {args.zkey_out}" + (f", {args.vkey_out}" if args.vkey_out else "")
     )
     return 0
 
@@ -210,7 +212,8 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("setup", help="dev-mode trusted setup from r1cs")
     s.add_argument("r1cs")
-    s.add_argument("vkey_out")
+    s.add_argument("zkey_out")
+    s.add_argument("vkey_out", nargs="?", default=None)
     s.set_defaults(fn=cmd_setup)
 
     args = ap.parse_args(argv)
