@@ -56,16 +56,11 @@ def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
     return jnp.stack(out, axis=0)
 
 
-def window_sums_impl(
-    F: cj.FieldAdapter,
-    points: cj.Point,  # Jacobian pytree, leading dim N
-    scalars: jnp.ndarray,  # (N, 16) uint32, plain canonical
-    window_bits: int = 8,
-) -> cj.Point:
-    """Per-window Pippenger sums; returns point pytree with leading dim W.
+CHUNK_POINTS = 1 << 16  # live working set cap: throughput measured to drop
+# ~2x at 2^20 when the per-window gather+scan exceeds this (BASELINE.md)
 
-    Un-jitted body so parallel/msm_sharded.py can call it inside shard_map.
-    """
+
+def _window_sums_one_chunk(F, points, scalars, window_bits):
     B = 1 << window_bits
     digits = window_digits(scalars, window_bits)  # (W, N)
     ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
@@ -82,6 +77,51 @@ def window_sums_impl(
         return segments.fold(combine, suffix, ident)
 
     return jax.lax.map(per_window, digits)
+
+
+def window_sums_impl(
+    F: cj.FieldAdapter,
+    points: cj.Point,  # Jacobian pytree, leading dim N
+    scalars: jnp.ndarray,  # (N, 16) uint32, plain canonical
+    window_bits: int = 8,
+    chunk_points: int = CHUNK_POINTS,
+) -> cj.Point:
+    """Per-window Pippenger sums; returns point pytree with leading dim W.
+
+    Inputs larger than `chunk_points` are processed in sequential chunks
+    (window sums are additive across point subsets), keeping peak memory
+    flat as N grows. Un-jitted body so parallel/msm_sharded.py can call it
+    inside shard_map.
+    """
+    n = scalars.shape[0]
+    if n <= chunk_points:
+        return _window_sums_one_chunk(F, points, scalars, window_bits)
+
+    pad = (-n) % chunk_points
+    if pad:
+        # zero scalars land in bucket 0 (ignored); pad points with infinity
+        scalars = jnp.pad(scalars, ((0, pad), (0, 0)))
+        ident = cj.identity_const(F)
+        points = tuple(
+            jnp.concatenate(
+                [c, jnp.broadcast_to(jnp.asarray(i), (pad,) + c.shape[1:]).astype(c.dtype)],
+                axis=0,
+            )
+            for c, i in zip(points, ident)
+        )
+    n_chunks = (n + pad) // chunk_points
+    pts_c = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks, chunk_points) + x.shape[1:]), points
+    )
+    sc_c = scalars.reshape(n_chunks, chunk_points, 16)
+
+    def one(args):
+        pts, sc = args
+        return _window_sums_one_chunk(F, pts, sc, window_bits)
+
+    chunk_sums = jax.lax.map(one, (pts_c, sc_c))  # (C, W, pt)
+    ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
+    return segments.fold(lambda a, b: cj.add(F, a, b), chunk_sums, ident)
 
 
 msm_window_sums = jax.jit(window_sums_impl, static_argnums=(0, 3))
