@@ -13,3 +13,4 @@ from .circom.builder import CircomBuilder, CircomConfig  # noqa: F401
 from .circom.circuit import CircomCircuit  # noqa: F401
 from .circom.zkey import read_zkey, ProvingKey, VerifyingKey, ConstraintMatrices  # noqa: F401
 from .witness.calculator import WitnessCalculator  # noqa: F401
+from .witness.circom_abi import Wasm  # noqa: F401

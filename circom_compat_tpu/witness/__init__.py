@@ -4,3 +4,4 @@
 from .calculator import WitnessCalculator, WitnessCalcError  # noqa: F401
 from .fnv import fnv  # noqa: F401
 from .memory import SafeMemory  # noqa: F401
+from .circom_abi import Wasm  # noqa: F401

@@ -100,3 +100,25 @@ def test_fnv():
     msb, lsb = fnv("a")
     h = fnv1a_64("a")
     assert (msb << 32) | lsb == h
+
+
+def test_wasm_facade(test_vectors):
+    """Typed export facade parity (reference: src/witness/circom.rs:4-71)."""
+    from circom_compat_tpu import Wasm
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.witness import WitnessCalculator
+    from circom_compat_tpu.witness.wasm.interp import WasmTrap
+
+    wc = WitnessCalculator.from_file(
+        test_vectors / "mycircuit_js" / "mycircuit.wasm"
+    )
+    w = Wasm(wc.instance)
+    assert w.get_field_num_len32() == 8
+    w.get_raw_prime()
+    limbs = [w.read_shared_rw_memory(i) for i in range(8)]
+    assert sum(l << (32 * i) for i, l in enumerate(limbs)) == R_SCALAR
+    assert w.get_witness_size() == 4
+    import pytest
+
+    with pytest.raises(WasmTrap):  # missing export panics (reference :67-71)
+        w.get_fr_len()
