@@ -39,11 +39,26 @@ class ShardedProver:
 
 
 def build_sharded_prover(
-    dpk: gj.DeviceProvingKey, mesh: Mesh, window_bits: int = None
+    dpk: gj.DeviceProvingKey,
+    mesh: Mesh,
+    window_bits: int = None,
+    dist_ntt: bool = None,
 ) -> ShardedProver:
+    """dist_ntt: run the witness map through the four-step distributed NTT
+    (ntt_sharded) instead of replicating it per device. Defaults to on when
+    the domain is large enough to shard over the mesh."""
     if window_bits is None:
         window_bits = gj.default_window_bits()
     D = int(mesh.shape[SHARD_AXIS])
+
+    from . import ntt_sharded
+
+    if dist_ntt is None:
+        try:
+            ntt_sharded.get_dist_plan(dpk.domain_size, D)
+            dist_ntt = True
+        except ValueError:
+            dist_ntt = False
 
     n_max = dpk.g1_stack_x.shape[1]
     n_pad = -(-n_max // D) * D
@@ -59,6 +74,36 @@ def build_sharded_prover(
     g1_y = pad_n(dpk.g1_stack_y, n_pad, 1)
     g2_x = pad_n(dpk.b_g2_query[0], g2_pad, 0)
     g2_y = pad_n(dpk.b_g2_query[1], g2_pad, 0)
+
+    if dist_ntt:
+        # Distributed witness map emits H scalars in the four-step NTT's
+        # transposed-digit (TD) layout; fold the layout into the key once:
+        # TD-permute the matrix rows + public slots + the H point row.
+        plan = ntt_sharded.get_dist_plan(dpk.domain_size, D)
+        td = plan.td_perm
+        nat_of_td = np.argsort(td)
+
+        def td_coo(rows, cols, vals):
+            r = td[np.asarray(rows)]
+            order = np.argsort(r, kind="stable")
+            return (
+                jnp.asarray(r[order].astype(np.int32)),
+                jnp.asarray(np.asarray(cols)[order]),
+                jnp.asarray(np.asarray(vals)[order]),
+            )
+
+        a_td = td_coo(dpk.a_rows, dpk.a_cols, dpk.a_vals)
+        b_td = td_coo(dpk.b_rows, dpk.b_cols, dpk.b_vals)
+        pub_td = jnp.asarray(
+            td[dpk.num_constraints : dpk.num_constraints + dpk.num_inputs].astype(
+                np.int32
+            )
+        )
+        h_perm = jnp.asarray(
+            np.concatenate([nat_of_td, np.arange(plan.n, n_pad)]).astype(np.int32)
+        )
+        g1_x = g1_x.at[3].set(g1_x[3][h_perm])
+        g1_y = g1_y.at[3].set(g1_y[3][h_perm])
 
     def g1_body(xs, ys, sc):  # local shards (4, n_pad/D, 16)
         def one(args):
@@ -87,7 +132,14 @@ def build_sharded_prover(
 
     def step(asg_plain):  # (n_vars, 16) uint32, replicated
         asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
-        h_plain = fj.from_mont_impl(fj.FR, gj._witness_map_mont(dpk, asg_mont))
+        if dist_ntt:
+            h_mont = ntt_sharded.witness_map_dist(
+                plan, mesh, *a_td, *b_td, asg_mont,
+                dpk.num_constraints, dpk.num_inputs, pub_td,
+            )  # TD flat order — paired with the TD-permuted H point row
+        else:
+            h_mont = gj._witness_map_mont(dpk, asg_mont)
+        h_plain = fj.from_mont_impl(fj.FR, h_mont)
         sc = gj._scalar_stack(dpk, asg_plain, h_plain)  # (4, n_max, 16)
         sc = jnp.pad(sc, ((0, 0), (0, n_pad - n_max), (0, 0)))
         g1_sums = g1_sm(g1_x, g1_y, sc)

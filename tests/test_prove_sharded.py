@@ -1,0 +1,80 @@
+"""Sharded prover on the 8-device virtual mesh, with and without the
+distributed (four-step) NTT witness map — bit-exact vs the host backend."""
+
+import pytest
+
+from circom_compat_tpu.circom.circuit import CircomCircuit
+from circom_compat_tpu.circom.r1cs import R1CS
+from circom_compat_tpu.constants import R_SCALAR
+from circom_compat_tpu.models import Groth16, generate_parameters
+from circom_compat_tpu.models.groth16_jax import DeviceProvingKey
+
+
+def _chain_circuit(k: int = 62, a: int = 3) -> CircomCircuit:
+    """Squaring chain like the reference's complex-circuit template
+    (reference: test-vectors/complex-circuit/complex-circuit.circom.template):
+    wires [1, out, a, b1..b_{k-1}]; k constraints; domain k+2."""
+    constraints = []
+    # a*a = b1
+    constraints.append(([(2, 1)], [(2, 1)], [(3, 1)]))
+    for i in range(1, k - 1):
+        w = 2 + i
+        constraints.append(([(w, 1)], [(w, 1)], [(w + 1, 1)]))
+    last = 2 + k - 1
+    constraints.append(([(last, 1)], [(last, 1)], [(1, 1)]))
+
+    witness = [1, 0, a] + [0] * (k - 1)
+    v = a
+    for i in range(k - 1):
+        v = v * v % R_SCALAR
+        witness[3 + i] = v
+    witness[1] = v * v % R_SCALAR
+
+    r1cs = R1CS(
+        num_inputs=2, num_aux=k, num_variables=k + 2,
+        constraints=constraints, wire_mapping=None,
+    )
+    circuit = CircomCircuit(r1cs=r1cs, witness=witness)
+    assert circuit.is_satisfied()
+    return circuit
+
+
+@pytest.fixture(scope="module")
+def setup_chain():
+    circuit = _chain_circuit()
+    pk = generate_parameters(
+        circuit, alpha=0xA, beta=0xB, gamma=0xC, delta=0xD, t=0xE1
+    )
+    ma, mb, _ = circuit.to_matrices()
+    dpk = DeviceProvingKey.from_matrix_rows(
+        pk, ma, mb, circuit.r1cs.num_inputs, len(ma)
+    )
+    full = circuit.full_assignment()
+    host_proof = Groth16.create_proof_with_reduction_and_matrices(
+        pk, 77, 88, _Rows(ma, mb, circuit.r1cs.num_inputs),
+        circuit.r1cs.num_inputs, len(ma), full, backend="host",
+    )
+    return circuit, pk, dpk, full, host_proof
+
+
+class _Rows:
+    def __init__(self, a, b, ni):
+        self.a = a
+        self.b = b
+        self.num_instance_variables = ni
+
+
+@pytest.mark.parametrize("dist_ntt", [False, True], ids=["replicated", "dist-ntt"])
+def test_sharded_prove_bit_exact(setup_chain, dist_ntt):
+    from circom_compat_tpu.parallel.mesh import make_mesh
+    from circom_compat_tpu.parallel.prove_sharded import (
+        build_sharded_prover,
+        prove_sharded,
+    )
+
+    circuit, pk, dpk, full, host_proof = setup_chain
+    mesh = make_mesh(8)
+    prover = build_sharded_prover(dpk, mesh, dist_ntt=dist_ntt)
+    proof = prove_sharded(dpk, prover, 77, 88, full)
+    assert proof == host_proof
+    assert Groth16.verify_proof(pk.vk, proof, circuit.get_public_inputs())
