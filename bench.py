@@ -18,12 +18,70 @@ import random
 import time
 
 
+def run_e2e(args):
+    """Steady-state prove of the 10^4-constraint fixture (see
+    scripts/e2e_complex.py for the full pipeline incl. setup + witness)."""
+    import pathlib
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from circom_compat_tpu import read_zkey
+    from circom_compat_tpu.models import groth16_jax as gj
+    from circom_compat_tpu.ops import field_jax as fj
+
+    zkey = pathlib.Path("/root/repo/.cache/complex-circuit-10000-10000.zkey")
+    if not zkey.exists():
+        import subprocess, sys
+
+        subprocess.run(
+            [sys.executable, "scripts/e2e_complex.py", "--backend", "host",
+             "--cpu"],
+            check=False, capture_output=True, timeout=540,
+        )
+    pk, matrices = read_zkey(zkey)
+    dpk = gj.DeviceProvingKey.build(pk, matrices, matrices.num_constraints)
+    core = gj.get_prove_core(dpk)
+    asg = jnp.asarray(fj.encode_plain(list(range(1, dpk.n_vars + 1)), fj.FR))
+    out = core(asg)
+    _ = [np.asarray(c) for c in jax.tree_util.tree_leaves(out)]
+    times = []
+    for _i in range(args.repeats):
+        t0 = time.perf_counter()
+        out = core(asg)
+        _ = [np.asarray(c) for c in jax.tree_util.tree_leaves(out)]
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    # arkworks-CPU ballpark for 10^4x10^4: ~2 s on a fast desktop core.
+    print(json.dumps({
+        "metric": "e2e_prove_core_complex_10000_steady_state",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(2.0 / best, 4),
+    }))
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=16)
     ap.add_argument("--window-bits", type=int, default=13)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--e2e", action="store_true",
+        help="measure steady-state end-to-end prove of the cached "
+             "complex-circuit dev zkey instead of the raw MSM",
+    )
     args = ap.parse_args()
+
+    if args.e2e:
+        return run_e2e(args)
 
     import jax
     import jax.numpy as jnp

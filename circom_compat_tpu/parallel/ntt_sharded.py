@@ -182,6 +182,33 @@ def _transpose_a2a(x_local: jnp.ndarray) -> jnp.ndarray:
 # independently per row — exactly what the batched core provides.
 
 
+def fft_local_body(plan: DistNTTPlan, x_local, tw_local):
+    """NAT block (n1/D, n2, 16) -> TD block, inside a shard_map context."""
+    xt = _transpose_a2a(x_local)  # (n2/D, n1, 16) rows=n2
+    a = ntt_ops.ntt_core_batched(
+        xt, plan.tw1_fwd, plan.bitrev1, plan.n1, plan.log_n1
+    )  # FFT over n1 (axis -2)
+    b = fj.mont_mul(FR, a, tw_local)  # w^(n2*k1), block (n2/D, n1, 16)
+    bt = _transpose_a2a(b)  # (n1/D, n2, 16) rows=k1
+    return ntt_ops.ntt_core_batched(
+        bt, plan.tw2_fwd, plan.bitrev2, plan.n2, plan.log_n2
+    )  # FFT over n2 -> TD block
+
+
+def ifft_local_body(plan: DistNTTPlan, y_local, twi_local):
+    """TD block (n1/D, n2, 16) -> NAT block, inside a shard_map context."""
+    a = ntt_ops.ntt_core_batched(
+        y_local, plan.tw2_inv, plan.bitrev2, plan.n2, plan.log_n2
+    )
+    at = _transpose_a2a(a)  # (n2/D, n1, 16) rows=n2
+    b = fj.mont_mul(FR, at, twi_local)
+    c = ntt_ops.ntt_core_batched(
+        b, plan.tw1_inv, plan.bitrev1, plan.n1, plan.log_n1
+    )
+    ct = _transpose_a2a(c)  # (n1/D, n2, 16) rows=n1, NAT
+    return fj.mont_mul(FR, ct, jnp.asarray(plan.n_inv))
+
+
 def make_dist_ntt(plan: DistNTTPlan, mesh):
     """Build jit-ready fft/ifft closures over global (n1, n2, 16) arrays."""
     from jax.sharding import PartitionSpec as P
@@ -189,30 +216,10 @@ def make_dist_ntt(plan: DistNTTPlan, mesh):
     sp = P(SHARD_AXIS)
 
     def fft_body(x_local, tw_local):
-        # x_local: NAT block (n1/D, n2, 16)
-        xt = _transpose_a2a(x_local)  # (n2/D, n1, 16) rows=n2
-        a = ntt_ops.ntt_core_batched(
-            xt, plan.tw1_fwd, plan.bitrev1, plan.n1, plan.log_n1
-        )  # FFT over n1 (axis -2)
-        b = fj.mont_mul(FR, a, tw_local)  # w^(n2*k1), block (n2/D, n1, 16)
-        bt = _transpose_a2a(b)  # (n1/D, n2, 16) rows=k1
-        c = ntt_ops.ntt_core_batched(
-            bt, plan.tw2_fwd, plan.bitrev2, plan.n2, plan.log_n2
-        )  # FFT over n2
-        return c  # TD block
+        return fft_local_body(plan, x_local, tw_local)
 
     def ifft_body(y_local, twi_local):
-        # y_local: TD block (n1/D, n2, 16) rows=k1
-        a = ntt_ops.ntt_core_batched(
-            y_local, plan.tw2_inv, plan.bitrev2, plan.n2, plan.log_n2
-        )
-        at = _transpose_a2a(a)  # (n2/D, n1, 16) rows=n2
-        b = fj.mont_mul(FR, at, twi_local)
-        c = ntt_ops.ntt_core_batched(
-            b, plan.tw1_inv, plan.bitrev1, plan.n1, plan.log_n1
-        )
-        ct = _transpose_a2a(c)  # (n1/D, n2, 16) rows=n1, NAT
-        return fj.mont_mul(FR, ct, jnp.asarray(plan.n_inv))
+        return ifft_local_body(plan, y_local, twi_local)
 
     fft_sm = shmap(fft_body, mesh=mesh, in_specs=(sp, sp), out_specs=sp)
     ifft_sm = shmap(ifft_body, mesh=mesh, in_specs=(sp, sp), out_specs=sp)
@@ -267,3 +274,99 @@ def witness_map_dist(
     ab = fj.mont_mul(FR, a2, b2)
     c2 = transform(c)
     return fj.sub(FR, ab, c2)
+
+
+# ---------------------------------------------------------------------------
+# Fully-sharded witness map: per-device sparse eval + distributed NTTs in
+# ONE shard_map body (no replicated stage left).
+# ---------------------------------------------------------------------------
+
+
+def partition_coo_td(
+    plan: DistNTTPlan,
+    rows_td: np.ndarray,  # sorted TD flat rows
+    cols: np.ndarray,
+    vals_mont: np.ndarray,  # (nnz, 16) uint32
+    n_devices: int,
+):
+    """Split sorted TD COO into per-device blocks with LOCAL row indices.
+
+    Device d owns TD flat rows [d*n/D, (d+1)*n/D) — contiguous because the
+    TD matrix is row-sharded on k1. Entries are padded per device with
+    zero-value entries (contribute nothing). Returns (D, nnz_max) int32
+    rows/cols and (D, nnz_max, 16) uint32 values.
+    """
+    n = plan.n
+    rows_per_dev = n // n_devices
+    rows_td = np.asarray(rows_td)
+    cols = np.asarray(cols)
+    vals_mont = np.asarray(vals_mont)
+    bounds = np.searchsorted(rows_td, np.arange(n_devices + 1) * rows_per_dev)
+    counts = np.diff(bounds)
+    nnz_max = max(int(counts.max()), 1)
+    # Padding entries must keep the per-device row keys SORTED (the segment
+    # reduction requires it): pad at the top row with zero values.
+    r_out = np.full((n_devices, nnz_max), rows_per_dev - 1, np.int32)
+    c_out = np.zeros((n_devices, nnz_max), np.int32)
+    v_out = np.zeros((n_devices, nnz_max, 16), np.uint32)
+    for d in range(n_devices):
+        lo, hi = bounds[d], bounds[d + 1]
+        k = hi - lo
+        r_out[d, :k] = rows_td[lo:hi] - d * rows_per_dev
+        c_out[d, :k] = cols[lo:hi]
+        v_out[d, :k] = vals_mont[lo:hi]
+    return jnp.asarray(r_out), jnp.asarray(c_out), jnp.asarray(v_out)
+
+
+def make_sharded_witness_map(plan: DistNTTPlan, mesh, a_coo, b_coo):
+    """Returns witness_map(assignment_mont) -> TD-flat (n, 16) HZ evals.
+
+    a_coo/b_coo: partition_coo_td outputs. The public-input rows must have
+    been folded into a_coo as (row=td(nc+i), col=i, value=1) entries —
+    those rows have no matrix coefficients, so add == set.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    D = int(mesh.shape[SHARD_AXIS])
+    rows_local = n // D
+
+    coset_sh = jnp.asarray(plan.coset_nat).reshape(n1, n2, 16)
+    tw_f = jnp.asarray(plan.twiddle_fwd)
+    tw_i = jnp.asarray(plan.twiddle_inv)
+
+    def body(ar, ac, av, br, bc, bv, tw_fl, tw_il, coset_l, asg):
+        # leading device axis of size 1 from the (D, ...) sharding
+        ar, ac, av = ar[0], ac[0], av[0]
+        br, bc, bv = br[0], bc[0], bv[0]
+        a = ntt_ops.sparse_eval_impl(ar, ac, av, asg, rows_local)
+        b = ntt_ops.sparse_eval_impl(br, bc, bv, asg, rows_local)
+        a = a.reshape(n1 // D, n2, 16)
+        b = b.reshape(n1 // D, n2, 16)
+        c = fj.mont_mul(FR, a, b)
+
+        def transform(v_td):
+            coeff_nat = ifft_local_body(plan, v_td, tw_il)
+            shifted = fj.mont_mul(FR, coeff_nat, coset_l)
+            return fft_local_body(plan, shifted, tw_fl)
+
+        a2 = transform(a)
+        b2 = transform(b)
+        ab = fj.mont_mul(FR, a2, b2)
+        c2 = transform(c)
+        return fj.sub(FR, ab, c2)
+
+    sp = P(SHARD_AXIS)
+    sp_coo = P(SHARD_AXIS)  # (D, nnz_max[, 16]) split on the device axis
+    fn = shmap(
+        body,
+        mesh=mesh,
+        in_specs=(sp_coo, sp_coo, sp_coo, sp_coo, sp_coo, sp_coo, sp, sp, sp, P()),
+        out_specs=sp,
+    )
+
+    def witness_map(assignment_mont):
+        out = fn(*a_coo, *b_coo, tw_f, tw_i, coset_sh, assignment_mont)
+        return out.reshape(n, 16)
+
+    return witness_map

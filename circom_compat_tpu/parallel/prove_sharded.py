@@ -78,27 +78,38 @@ def build_sharded_prover(
     if dist_ntt:
         # Distributed witness map emits H scalars in the four-step NTT's
         # transposed-digit (TD) layout; fold the layout into the key once:
-        # TD-permute the matrix rows + public slots + the H point row.
+        # TD-permute the matrix rows + the H point row, and fold the
+        # public-input identity rows into the A matrix (those rows carry no
+        # coefficients, so the additive sparse eval equals the reference's
+        # scatter, reference: src/circom/qap.rs:46-50).
         plan = ntt_sharded.get_dist_plan(dpk.domain_size, D)
         td = plan.td_perm
         nat_of_td = np.argsort(td)
+        nc, ni = dpk.num_constraints, dpk.num_inputs
 
-        def td_coo(rows, cols, vals):
-            r = td[np.asarray(rows)]
+        def td_sorted(rows, cols, vals):
+            r = td[np.asarray(rows)].astype(np.int64)
             order = np.argsort(r, kind="stable")
             return (
-                jnp.asarray(r[order].astype(np.int32)),
-                jnp.asarray(np.asarray(cols)[order]),
-                jnp.asarray(np.asarray(vals)[order]),
+                r[order],
+                np.asarray(cols)[order].astype(np.int64),
+                np.asarray(vals)[order],
             )
 
-        a_td = td_coo(dpk.a_rows, dpk.a_cols, dpk.a_vals)
-        b_td = td_coo(dpk.b_rows, dpk.b_cols, dpk.b_vals)
-        pub_td = jnp.asarray(
-            td[dpk.num_constraints : dpk.num_constraints + dpk.num_inputs].astype(
-                np.int32
-            )
+        a_rows_np = np.concatenate([np.asarray(dpk.a_rows), np.arange(nc, nc + ni)])
+        a_cols_np = np.concatenate([np.asarray(dpk.a_cols), np.arange(ni)])
+        one_mont = fj.FR.one_mont.astype(np.uint32)
+        a_vals_np = np.concatenate(
+            [np.asarray(dpk.a_vals), np.tile(one_mont, (ni, 1))]
         )
+        a_coo = ntt_sharded.partition_coo_td(
+            plan, *td_sorted(a_rows_np, a_cols_np, a_vals_np), D
+        )
+        b_coo = ntt_sharded.partition_coo_td(
+            plan, *td_sorted(dpk.b_rows, dpk.b_cols, dpk.b_vals), D
+        )
+        dist_wm = ntt_sharded.make_sharded_witness_map(plan, mesh, a_coo, b_coo)
+
         h_perm = jnp.asarray(
             np.concatenate([nat_of_td, np.arange(plan.n, n_pad)]).astype(np.int32)
         )
@@ -133,10 +144,8 @@ def build_sharded_prover(
     def step(asg_plain):  # (n_vars, 16) uint32, replicated
         asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
         if dist_ntt:
-            h_mont = ntt_sharded.witness_map_dist(
-                plan, mesh, *a_td, *b_td, asg_mont,
-                dpk.num_constraints, dpk.num_inputs, pub_td,
-            )  # TD flat order — paired with the TD-permuted H point row
+            # TD flat order — paired with the TD-permuted H point row
+            h_mont = dist_wm(asg_mont)
         else:
             h_mont = gj._witness_map_mont(dpk, asg_mont)
         h_plain = fj.from_mont_impl(fj.FR, h_mont)
