@@ -245,8 +245,81 @@ def add(F: FieldAdapter, p: Point, q: Point) -> Point:
     return (coord_select(0), coord_select(1), coord_select(2))
 
 
+def madd(F: FieldAdapter, p: Point, q: Point) -> Point:
+    """P + Q where Q is affine-encoded: Z2 == one (or 0 for infinity).
+
+    Mixed addition (madd-2007-bl): 8M+3S vs 11M+5S for the general add —
+    used as the leaf combine of the MSM bucket scans, where the second
+    operand is always an original query point (ops/segments.py Phase A).
+    All edge cases handled branch-free exactly like `add`.
+    """
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+
+    Z1Z1 = F.sqr(Z1)
+    U2 = F.mul(X2, Z1Z1)
+    S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
+    H = F.sub(U2, X1)  # U1 = X1
+    Rr = F.sub(S2, Y1)  # S1 = Y1
+
+    HH = F.sqr(H)
+    HHH = F.mul(H, HH)
+    V = F.mul(X1, HH)
+    X3 = F.sub(F.sub(F.sqr(Rr), HHH), F.double(V))
+    Y3 = F.sub(F.mul(Rr, F.sub(V, X3)), F.mul(Y1, HHH))
+    Z3 = F.mul(Z1, H)
+    gen = (X3, Y3, Z3)
+
+    dbl = double_impl(F, p)
+
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(Rr)
+    same = h_zero & r_zero & ~p_inf & ~q_inf
+    opposite = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+    def coord_select(idx):
+        out = gen[idx]
+        out = F.select(same, dbl[idx], out)
+        out = F.select(q_inf, p[idx], out)
+        out = F.select(p_inf, q[idx], out)
+        if idx == 2:
+            out = F.select(opposite & ~p_inf & ~q_inf, jnp.zeros_like(out), out)
+        return out
+
+    return (coord_select(0), coord_select(1), coord_select(2))
+
+
 def neg(F: FieldAdapter, p: Point) -> Point:
     return (p[0], F.neg(p[1]), p[2])
+
+
+def scalar_mul_const(F: FieldAdapter, p: Point, k: int) -> Point:
+    """Batched p*k for a static Python-int scalar shared by the whole batch.
+
+    MSB-first double-and-add via lax.scan over the (static) bit string, so
+    the compiled graph holds one double + one add body regardless of
+    k.bit_length() — the device path for ceremony-contribution rescaling of
+    the L/H query sections (circom/contribute.py), where every point is
+    multiplied by the same delta^-1.
+    """
+    if k == 0:
+        return infinity(F, p[0].shape[: p[0].ndim - np.asarray(F.one).ndim])
+    bits = np.array([int(c) for c in bin(k)[2:]], dtype=np.int32)
+
+    def body(acc, bit):
+        acc = double_impl(F, acc)
+        added = add_impl(F, acc, p)
+        acc = tuple(
+            F.select(jnp.broadcast_to(bit != 0, is_infinity(F, acc).shape), a, b)
+            for a, b in zip(added, acc)
+        )
+        return acc, None
+
+    init = infinity(F, p[0].shape[: p[0].ndim - np.asarray(F.one).ndim])
+    out, _ = jax.lax.scan(body, init, jnp.asarray(bits))
+    return out
 
 
 def scalar_mul(F: FieldAdapter, p: Point, k: int) -> Point:
@@ -263,9 +336,10 @@ def scalar_mul(F: FieldAdapter, p: Point, k: int) -> Point:
 
 
 # jit public group-law entry points (adapter static; cached per shape)
-add_impl, double_impl = add, double
+add_impl, double_impl, madd_impl = add, double, madd
 add = jax.jit(add_impl, static_argnums=0)
 double = jax.jit(double_impl, static_argnums=0)
+madd = jax.jit(madd_impl, static_argnums=0)
 
 
 # ---------------------------------------------------------------------------

@@ -1,24 +1,33 @@
-"""Pallas-fused Jacobian point addition for BN254 G1/G2.
+"""Pallas-fused Jacobian point addition for BN254 G1/G2 (limb-major).
 
 The XLA-composed group law (ops/curve_jax.py) spends its time shuttling
 ~hundreds of intermediate (N, 16) limb tensors through HBM: every field op
 around a fori_loop is a fusion barrier. This kernel runs the COMPLETE
-branch-free Jacobian addition (same formulas/selects as curve_jax.add_impl,
-reusing the exact field_jax limb arithmetic) inside one pallas_call —
-inputs are read from HBM once, all intermediate limb ops live in
-VMEM/registers, outputs are written once. This is the combine used by the
-MSM segmented scans, so it bounds MSM throughput.
+branch-free Jacobian addition (same formulas/selects as curve_jax.add_impl)
+inside one pallas_call — inputs are read from HBM once, all intermediate
+limb ops live in VMEM/registers, outputs are written once. This is the
+combine used by the MSM segmented scans, so it bounds MSM throughput
+(reference hot path: the 5 MSMs of ark-groth16's prover, SURVEY §3.4).
+
+Layout: the caller-facing combine accepts the pipeline's limb-minor point
+pytrees ((..., 16) Fq / (..., 2, 16) Fq2 coords) and transposes to
+limb-major (16, L) / (2, 16, L) blocks in XLA before the kernel — inside,
+the batch axis sits in the 128 vector lanes (full VPU width) and limb-axis
+shifts are cheap sublane moves. The earlier limb-minor kernel filled only
+16/128 lanes and measured SLOWER than XLA (0.51 vs 0.85 M adds/s,
+BASELINE.md); the transposes cost two extra HBM round-trips per operand,
+negligible against the ~27k int32 multiplies each fused add performs.
 
 Pallas forbids captured array constants, so the Fq modulus limbs enter as
-a (2, 16) kernel input and the field spec is shimmed per-trace.
+a (16, 2) kernel input (column 0 = p, column 1 = 2^256 - p).
 
-Numerics are identical to curve_jax (same code path); parity tests in
+Numerics are identical to curve_jax (same group-law code path over the
+limb-major field ops in ops/field_lm.py); parity tests in
 tests/test_curve_pallas.py.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -29,74 +38,96 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import curve_jax as cj
 from . import field_jax as fj
+from . import field_lm as flm
 
-FQ_CONSTS = np.stack([fj.FQ.p_limbs, fj.FQ.pc_limbs])  # (2, 16) uint32
+# (16, 2): column 0 = p limbs, column 1 = (2^256 - p) limbs.
+FQ_CONSTS_LM = np.stack([fj.FQ.p_limbs, fj.FQ.pc_limbs], axis=1)
+
+LANE_BLOCK = 512  # lanes per kernel invocation (4 full VPU lane groups)
 
 
-def _raw_adapter(shim, is_fq2: bool) -> cj.FieldAdapter:
-    """FieldAdapter over *_impl bodies bound to a (possibly traced) FieldSpec.
+def _lm_adapter(p_col, pc_col, is_fq2: bool) -> cj.FieldAdapter:
+    """FieldAdapter over limb-major blocks bound to traced modulus columns."""
+    nprime = fj.FQ.nprime
+    add1 = lambda a, b: flm.add(p_col, pc_col, a, b)
+    sub1 = lambda a, b: flm.sub(p_col, pc_col, a, b)
+    mul1 = lambda a, b: flm.mont_mul(p_col, pc_col, nprime, a, b)
 
-    Uses un-jitted bodies: a pjit primitive is not lowerable inside Pallas.
-    """
     if not is_fq2:
-        return dataclasses.replace(
-            cj.FQ_ADAPTER,
-            add=lambda a, b: fj.add_impl(shim, a, b),
-            sub=lambda a, b: fj.sub_impl(shim, a, b),
-            mul=lambda a, b: fj.mont_mul_impl(shim, a, b),
-            sqr=lambda a: fj.mont_mul_impl(shim, a, a),
-            neg=lambda a: fj.neg_impl(shim, a),
-            double=lambda a: fj.add_impl(shim, a, a),
+        return cj.FieldAdapter(
+            name="fq_lm",
+            add=add1,
+            sub=sub1,
+            mul=mul1,
+            sqr=lambda a: mul1(a, a),
+            neg=lambda a: flm.neg(p_col, pc_col, a),
+            # keepdims: Mosaic wants >=2D vectors, so masks stay (..., 1, L)
+            is_zero=lambda a: ~jnp.any(a != 0, axis=-2, keepdims=True),
+            eq=lambda a, b: jnp.all(a == b, axis=-2, keepdims=True),
+            select=lambda m, a, b: jnp.where(m, a, b),
+            one=None,
+            zero=None,
+            double=lambda a: add1(a, a),
         )
 
     def fq2_bin(op):
         def f(a, b):
-            return jnp.stack(
-                [op(a[..., 0, :], b[..., 0, :]), op(a[..., 1, :], b[..., 1, :])],
-                axis=-2,
+            return jnp.concatenate(
+                [op(a[..., 0:1, :, :], b[..., 0:1, :, :]),
+                 op(a[..., 1:2, :, :], b[..., 1:2, :, :])],
+                axis=-3,
             )
 
         return f
 
-    add1 = lambda a, b: fj.add_impl(shim, a, b)
-    sub1 = lambda a, b: fj.sub_impl(shim, a, b)
-    mul1 = lambda a, b: fj.mont_mul_impl(shim, a, b)
-
     def fq2_mul(a, b):
-        a0, a1 = a[..., 0, :], a[..., 1, :]
-        b0, b1 = b[..., 0, :], b[..., 1, :]
+        # Karatsuba over Fq[u]/(u^2+1): 3 base muls.
+        a0, a1 = a[..., 0:1, :, :], a[..., 1:2, :, :]
+        b0, b1 = b[..., 0:1, :, :], b[..., 1:2, :, :]
         v0, v1 = mul1(a0, b0), mul1(a1, b1)
         s = mul1(add1(a0, a1), add1(b0, b1))
-        return jnp.stack([sub1(v0, v1), sub1(sub1(s, v0), v1)], axis=-2)
+        return jnp.concatenate(
+            [sub1(v0, v1), sub1(sub1(s, v0), v1)], axis=-3
+        )
 
     def fq2_sqr(a):
-        a0, a1 = a[..., 0, :], a[..., 1, :]
+        a0, a1 = a[..., 0:1, :, :], a[..., 1:2, :, :]
         c0 = mul1(add1(a0, a1), sub1(a0, a1))
         t = mul1(a0, a1)
-        return jnp.stack([c0, add1(t, t)], axis=-2)
+        return jnp.concatenate([c0, add1(t, t)], axis=-3)
 
-    return dataclasses.replace(
-        cj.FQ2_ADAPTER,
+    return cj.FieldAdapter(
+        name="fq2_lm",
         add=fq2_bin(add1),
         sub=fq2_bin(sub1),
         mul=fq2_mul,
         sqr=fq2_sqr,
-        neg=lambda a: jnp.stack(
-            [fj.neg_impl(shim, a[..., 0, :]), fj.neg_impl(shim, a[..., 1, :])],
-            axis=-2,
+        neg=lambda a: jnp.concatenate(
+            [flm.neg(p_col, pc_col, a[..., 0:1, :, :]),
+             flm.neg(p_col, pc_col, a[..., 1:2, :, :])],
+            axis=-3,
         ),
+        is_zero=lambda a: ~jnp.any(a != 0, axis=(-3, -2), keepdims=True),
+        eq=lambda a, b: jnp.all(a == b, axis=(-3, -2), keepdims=True),
+        select=lambda m, a, b: jnp.where(m, a, b),
+        one=None,
+        zero=None,
         double=lambda a: fq2_bin(add1)(a, a),
     )
 
 
-def _add_kernel(is_fq2: bool):
+def _add_kernel(is_fq2: bool, mixed: bool = False):
+    body = cj.madd_impl if mixed else cj.add_impl
+
     def kernel(consts, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        shim = dataclasses.replace(
-            fj.FQ, p_limbs=consts[0], pc_limbs=consts[1]
-        )
-        F = _raw_adapter(shim, is_fq2)
-        with fj.PALLAS_MODE:
-            r = cj.add_impl(F, (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]))
+        # Broadcast the modulus columns to full lane width up front: Mosaic
+        # cannot concatenate lane-width-1 vectors (offset mismatch on the
+        # non-concat dim), and cond_sub_p/sub pad them along the limb axis.
+        lanes = x1.shape[-1]
+        p_col = jnp.broadcast_to(consts[:, 0:1], (16, lanes))
+        pc_col = jnp.broadcast_to(consts[:, 1:2], (16, lanes))
+        F = _lm_adapter(p_col, pc_col, is_fq2)
+        r = body(F, (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]))
         ox[:] = r[0]
         oy[:] = r[1]
         oz[:] = r[2]
@@ -104,56 +135,69 @@ def _add_kernel(is_fq2: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _add_blocked(is_fq2, p_flat, q_flat, block):
-    """p/q: tuples of (M, *coord) arrays, M % block == 0."""
-    coord = p_flat[0].shape[1:]
-    m = p_flat[0].shape[0]
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _add_blocked_lm(is_fq2, p_flat, q_flat, block, mixed=False):
+    """p/q: tuples of limb-major coords — (16, M) Fq / (2, 16, M) Fq2,
+    with M % block == 0."""
+    coord = p_flat[0].shape[:-1]  # (16,) or (2, 16)
+    m = p_flat[0].shape[-1]
     grid = (m // block,)
     bs = pl.BlockSpec(
-        (block,) + coord, lambda i: (i,) + (0,) * len(coord),
+        coord + (block,),
+        lambda i: (0,) * len(coord) + (i,),
         memory_space=pltpu.VMEM,
     )
-    bs_const = pl.BlockSpec((2, 16), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bs_const = pl.BlockSpec((16, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = tuple(
-        jax.ShapeDtypeStruct((m,) + coord, jnp.uint32) for _ in range(3)
+        jax.ShapeDtypeStruct(coord + (m,), jnp.uint32) for _ in range(3)
     )
     return pl.pallas_call(
-        _add_kernel(is_fq2),
+        _add_kernel(is_fq2, mixed),
         grid=grid,
         in_specs=[bs_const] + [bs] * 6,
         out_specs=(bs, bs, bs),
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(FQ_CONSTS), *p_flat, *q_flat)
+    )(jnp.asarray(FQ_CONSTS_LM), *p_flat, *q_flat)
 
 
-def make_pallas_add(is_fq2: bool, block: int = 512):
-    """Returns combine(p, q) on (..., *coord) point pytrees, Pallas-fused."""
+def make_pallas_add(is_fq2: bool, block: int = LANE_BLOCK, mixed: bool = False):
+    """Returns combine(p, q) on (..., *coord) point pytrees, Pallas-fused.
+
+    Drop-in for `lambda p, q: curve_jax.add(F, p, q)` as the combine of the
+    MSM segmented scans (ops/msm.py, ops/segments.py): accepts/returns the
+    pipeline's limb-minor layout, transposing at the kernel boundary.
+    With mixed=True the kernel assumes q is affine-encoded (Z == one or
+    infinity) and runs the cheaper madd formulas (curve_jax.madd_impl) —
+    valid for the scans' leaf combine only.
+    """
     coord = (2, 16) if is_fq2 else (16,)
     cdim = len(coord)
+    to_lm = flm.fq2_to_lm if is_fq2 else flm.fq_to_lm
+    from_lm = flm.fq2_from_lm if is_fq2 else flm.fq_from_lm
 
     def combine(p, q):
         lead = p[0].shape[: p[0].ndim - cdim]
         m = int(np.prod(lead)) if lead else 1
-        blk = min(block, max(m, 8))
-        pad = (-m) % blk
+        pad = (-m) % block
 
         def flat(c):
-            c = c.reshape((m,) + coord)
+            c = jnp.broadcast_to(c, lead + coord).reshape((m,) + coord)
             if pad:
                 c = jnp.concatenate(
                     [c, jnp.zeros((pad,) + coord, jnp.uint32)], axis=0
                 )
-            return c
+            return to_lm(c)
 
         pf = tuple(flat(c) for c in p)
         qf = tuple(flat(c) for c in q)
-        out = _add_blocked(is_fq2, pf, qf, blk)
-        return tuple(o[:m].reshape(lead + coord) for o in out)
+        out = _add_blocked_lm(is_fq2, pf, qf, block, mixed)
+        return tuple(from_lm(o)[:m].reshape(lead + coord) for o in out)
 
     return combine
 
 
 g1_add_pallas = make_pallas_add(False)
 g2_add_pallas = make_pallas_add(True)
+g1_madd_pallas = make_pallas_add(False, mixed=True)
+g2_madd_pallas = make_pallas_add(True, mixed=True)

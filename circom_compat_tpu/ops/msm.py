@@ -60,17 +60,48 @@ CHUNK_POINTS = 1 << 16  # live working set cap: throughput measured to drop
 # ~2x at 2^20 when the per-window gather+scan exceeds this (BASELINE.md)
 
 
-def _window_sums_one_chunk(F, points, scalars, window_bits):
+def combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
+    """The Jacobian-add combine for scans: Pallas-fused on TPU (one HBM
+    round-trip per add instead of hundreds — ops/curve_pallas.py), plain
+    XLA composition on the CPU test mesh (interpret-mode Pallas there is
+    orders of magnitude slower; dedicated parity tests cover the kernel)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from . import curve_pallas as cp
+
+        return cp.g2_add_pallas if F.name == "fq2" else cp.g1_add_pallas
+    return lambda a, b: cj.add(F, a, b)
+
+
+def leaf_combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
+    """Mixed-coordinate combine for scan positions whose second operand is
+    an original affine query point (Z in {0, one}): 8M+3S vs 11M+5S."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from . import curve_pallas as cp
+
+        return cp.g2_madd_pallas if F.name == "fq2" else cp.g1_madd_pallas
+    return lambda a, b: cj.madd(F, a, b)
+
+
+def _window_sums_one_chunk(F, points, scalars, window_bits, combine=None, leaf=None):
     B = 1 << window_bits
     digits = window_digits(scalars, window_bits)  # (W, N)
     ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
-    combine = lambda a, b: cj.add(F, a, b)
+    if combine is None:
+        combine = combine_for(F)
+    if leaf is None:
+        leaf = leaf_combine_for(F)
 
     def per_window(d_row):
         order = jnp.argsort(d_row)
         keys = d_row[order]
         pts = jax.tree_util.tree_map(lambda a: a[order], points)
-        buckets = segments.reduce_by_sorted_key(combine, pts, keys, B, ident)
+        buckets = segments.reduce_by_sorted_key(
+            combine, pts, keys, B, ident, combine_leaf=leaf
+        )
         # sum_{j=1}^{B-1} j * S_j  ==  sum of suffix sums of S_{B-1}..S_1.
         rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
         suffix = segments.inclusive_scan(combine, rev, ident)
@@ -85,6 +116,7 @@ def window_sums_impl(
     scalars: jnp.ndarray,  # (N, 16) uint32, plain canonical
     window_bits: int = 8,
     chunk_points: int = CHUNK_POINTS,
+    use_pallas: Optional[bool] = None,
 ) -> cj.Point:
     """Per-window Pippenger sums; returns point pytree with leading dim W.
 
@@ -93,9 +125,11 @@ def window_sums_impl(
     flat as N grows. Un-jitted body so parallel/msm_sharded.py can call it
     inside shard_map.
     """
+    combine = combine_for(F, use_pallas)
+    leaf = leaf_combine_for(F, use_pallas)
     n = scalars.shape[0]
     if n <= chunk_points:
-        return _window_sums_one_chunk(F, points, scalars, window_bits)
+        return _window_sums_one_chunk(F, points, scalars, window_bits, combine, leaf)
 
     pad = (-n) % chunk_points
     if pad:
@@ -117,14 +151,14 @@ def window_sums_impl(
 
     def one(args):
         pts, sc = args
-        return _window_sums_one_chunk(F, pts, sc, window_bits)
+        return _window_sums_one_chunk(F, pts, sc, window_bits, combine, leaf)
 
     chunk_sums = jax.lax.map(one, (pts_c, sc_c))  # (C, W, pt)
     ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
-    return segments.fold(lambda a, b: cj.add(F, a, b), chunk_sums, ident)
+    return segments.fold(combine, chunk_sums, ident)
 
 
-msm_window_sums = jax.jit(window_sums_impl, static_argnums=(0, 3))
+msm_window_sums = jax.jit(window_sums_impl, static_argnums=(0, 3, 4, 5))
 
 
 # ---------------------------------------------------------------------------

@@ -90,21 +90,30 @@ def segmented_scan(
     flags: jnp.ndarray,
     identity: Any,
     tile: int = 16,
+    _depth: int = 0,
+    combine_leaf: Callable[[Any, Any], Any] | None = None,
 ) -> Any:
     """Inclusive scan of `values` restarting at every True flag.
 
     Two-level work-efficient form: a sequential within-tile scan (fori over
     `tile` steps, full width), a tile-level segmented scan of the carries
-    (Hillis-Steele over n/tile elements), and one carry-apply combine —
-    ~2.4n combines total vs n*log2(n) for flat Hillis-Steele, with three
-    combine instantiations in the graph.
+    (recursed once, then Hillis-Steele), and one carry-apply combine —
+    ~2.16n combines total vs n*log2(n) for flat Hillis-Steele, with a
+    bounded number of combine instantiations in the graph.
 
     identity: pytree of arrays broadcastable to each leaf's element shape,
     satisfying combine(id, x) == x.
+
+    combine_leaf: optional cheaper combine used ONLY where the second
+    operand is an ORIGINAL element of `values` (the within-tile Phase A
+    steps) — for MSM scans that operand is an affine query point, so the
+    mixed-coordinate group law applies (ops/curve_jax.madd).
     """
     n = flags.shape[0]
     if n <= tile * 2:
         return _hillis_steele_segmented(combine, values, flags, identity)
+    if combine_leaf is None:
+        combine_leaf = combine
 
     K = tile
     T = -(-n // K)
@@ -138,7 +147,7 @@ def segmented_scan(
         out, acc = carry
         vk = tree_map(lambda x: jax.lax.dynamic_index_in_dim(x, k, 1, False), vt)
         fk = jax.lax.dynamic_index_in_dim(ft, k, 1, False)  # (T,)
-        merged = combine(acc, vk)
+        merged = combine_leaf(acc, vk)
         acc = tree_map(
             lambda m, y: jnp.where(
                 fk.reshape(fk.shape + (1,) * (y.ndim - fk.ndim)), y, m
@@ -155,10 +164,19 @@ def segmented_scan(
     (out, tile_carry) = jax.lax.fori_loop(0, K, body_a, (out0, ident_tile))
 
     # Phase B: segmented scan of tile carries; exclusive carry into each tile.
+    # One recursion level: at T = n/K elements the flat Hillis-Steele costs
+    # T*log2(T) combines (~0.75n for K=16, n=64k); recursing once brings the
+    # whole scan to ~2.16n combines. Depth is capped so the number of
+    # combine instantiations in the graph stays bounded (compile time).
     tile_has_flag = ft.any(axis=1)
-    carries_scanned = _hillis_steele_segmented(
-        combine, tile_carry, tile_has_flag, identity
-    )
+    if _depth < 1:
+        carries_scanned = segmented_scan(
+            combine, tile_carry, tile_has_flag, identity, tile, _depth + 1
+        )
+    else:
+        carries_scanned = _hillis_steele_segmented(
+            combine, tile_carry, tile_has_flag, identity
+        )
     carry_in = tree_map(
         lambda c, il: jnp.concatenate(
             [jnp.broadcast_to(il, (1,) + c.shape[1:]).astype(c.dtype), c[:-1]],
@@ -208,14 +226,17 @@ def reduce_by_sorted_key(
     sorted_keys: jnp.ndarray,
     num_segments: int,
     identity: Any,
+    combine_leaf: Callable[[Any, Any], Any] | None = None,
 ) -> Any:
     """Per-key reductions for presorted int keys in [0, num_segments).
 
     Returns a pytree with leading dim num_segments; keys with no elements
-    get `identity`.
+    get `identity`. combine_leaf: see segmented_scan.
     """
     flags = segment_flags(sorted_keys)
-    scanned = segmented_scan(combine, values, flags, identity)
+    scanned = segmented_scan(
+        combine, values, flags, identity, combine_leaf=combine_leaf
+    )
 
     seg_ids = jnp.arange(num_segments, dtype=sorted_keys.dtype)
     right = jnp.searchsorted(sorted_keys, seg_ids, side="right")

@@ -1,0 +1,164 @@
+"""Measure the limb-major Pallas fused point-add vs the XLA-composed group
+law, then MSM throughput with the Pallas combine — on the real TPU.
+
+Ordered so cheap-to-compile results print first (axon remote compiles are
+minutes each); every result prints immediately with flush. Run from the
+repo root:  python -u scripts/bench_pallas_combine.py [--stages adds,msm16,msm20,g2]
+
+Measurement discipline (see BASELINE.md): np.asarray on a small reduced
+output forces execution through the tunnel; the D2H payload must stay tiny
+or the 0.8 GB/s tunnel dominates the timing.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from circom_compat_tpu.constants import R_SCALAR
+from circom_compat_tpu.ops import curve_jax as cj
+from circom_compat_tpu.ops import curve_pallas as cp
+from circom_compat_tpu.ops import field_jax as fj
+from circom_compat_tpu.ops import msm as msm_ops
+
+CHAIN = 16  # sequential dependent adds per timed call
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def rand_limbs(rng, shape):
+    # Random sub-2^16 limbs: not canonical field elements, but the add/mul
+    # datapath is data-independent so timing is representative.
+    return jnp.asarray(rng.integers(0, 1 << 16, size=shape, dtype=np.uint32))
+
+
+def checksum(tree):
+    return sum(int(np.asarray(c.sum(dtype=jnp.uint32))) for c in jax.tree_util.tree_leaves(tree))
+
+
+def time_steady(fn, *args, reps=3):
+    out = fn(*args)
+    _ = checksum(out)  # force; also warms
+    times = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = checksum(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def make_chain(combine, n_coords):
+    @jax.jit
+    def chain(p, q):
+        def body(acc, _):
+            return combine(acc, q), None
+
+        out, _ = jax.lax.scan(body, p, None, length=CHAIN)
+        return tuple(c.sum(dtype=jnp.uint32) for c in out)
+
+    return chain
+
+
+def stage_adds(n):
+    rng = np.random.default_rng(7)
+    p = tuple(rand_limbs(rng, (n, 16)) for _ in range(3))
+    q = tuple(rand_limbs(rng, (n, 16)) for _ in range(3))
+
+    log(f"[adds] compiling XLA G1 add chain (N={n}, chain={CHAIN}) ...")
+    xla_chain = make_chain(lambda a, b: cj.add_impl(cj.FQ_ADAPTER, a, b), 3)
+    t = time_steady(xla_chain, p, q)
+    log(f"RESULT g1_add_xla: {n * CHAIN / t / 1e6:.3f} M adds/s  ({t*1e3:.1f} ms/call)")
+
+    log("[adds] compiling Pallas limb-major G1 add chain ...")
+    pl_chain = make_chain(cp.g1_add_pallas, 3)
+    t = time_steady(pl_chain, p, q)
+    log(f"RESULT g1_add_pallas_lm: {n * CHAIN / t / 1e6:.3f} M adds/s  ({t*1e3:.1f} ms/call)")
+
+
+def stage_adds_g2(n):
+    rng = np.random.default_rng(11)
+    p = tuple(rand_limbs(rng, (n, 2, 16)) for _ in range(3))
+    q = tuple(rand_limbs(rng, (n, 2, 16)) for _ in range(3))
+    log(f"[g2] compiling Pallas limb-major G2 add chain (N={n}) ...")
+    pl_chain = make_chain(cp.g2_add_pallas, 3)
+    t = time_steady(pl_chain, p, q)
+    log(f"RESULT g2_add_pallas_lm: {n * CHAIN / t / 1e6:.3f} M adds/s  ({t*1e3:.1f} ms/call)")
+
+
+def msm_points(n, rng_seed=1):
+    import random
+
+    from circom_compat_tpu.refmath import curve as rc
+
+    rng = random.Random(rng_seed)
+    base = rc.g1_generator()
+    seed_pts = [rc.G1.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
+    xs0, ys0 = cj.encode_g1_affine(seed_pts)
+    reps = -(-n // 256)
+    xs = np.tile(xs0, (reps, 1))[:n]
+    ys = np.tile(ys0, (reps, 1))[:n]
+    sc = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
+    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    return jac, jnp.asarray(sc)
+
+
+def stage_msm(log_n, window_bits=13, log_chunk=16):
+    n = 1 << log_n
+    jac, sc = msm_points(n)
+    log(
+        f"[msm] compiling G1 MSM 2^{log_n} w={window_bits} chunk=2^{log_chunk} "
+        "with Pallas combine ..."
+    )
+
+    def run():
+        return msm_ops.msm_window_sums(
+            cj.FQ_ADAPTER, jac, sc, window_bits, 1 << log_chunk, True
+        )
+
+    t0 = time.perf_counter()
+    t = time_steady(run)
+    log(f"  (first-call incl. compile: {time.perf_counter() - t0 - 3 * t:.0f} s)")
+    log(
+        f"RESULT g1_msm_pallas_2^{log_n}_w{window_bits}_c{log_chunk}: "
+        f"{n / t / 1e3:.1f} k points/s  ({t:.3f} s)"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="adds,msm16,msm20,g2")
+    ap.add_argument("--n", type=int, default=1 << 16)
+    args = ap.parse_args()
+    stages = args.stages.split(",")
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    if "adds" in stages:
+        stage_adds(args.n)
+    if "msm16" in stages:
+        stage_msm(16)
+    if "msm20" in stages:
+        stage_msm(20)
+    if "g2" in stages:
+        stage_adds_g2(args.n // 4)
+    # chunk/window sweep at 2^20: bigger chunks amortize windows (fewer
+    # window passes per point) now that the combine's working set is tiny.
+    if "sweep" in stages:
+        stage_msm(20, 14, 17)
+        stage_msm(20, 15, 18)
+        stage_msm(20, 16, 20)
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,33 @@ def test_g1_add_general_and_edges():
     assert got == want
 
 
+def test_g1_madd_general_and_edges():
+    """Mixed add: q affine-encoded (Z in {0, one}); all edge cases."""
+    _jmadd = jax.jit(cj.madd, static_argnums=0)
+    pts = _rand_g1(6)
+    # p is doubled on device first so it is genuinely Jacobian (Z != 1);
+    # q stays affine. Edges: p=inf, q=inf, same (2p == q), opposite.
+    p_list = pts[:3] + [None, pts[4], pts[4], pts[5]]
+    q_list = pts[3:6] + [
+        pts[3], None, rc.G1.neg(rc.G1.double(pts[4])), rc.G1.double(pts[5]),
+    ]
+    P2 = _jdouble(cj.FQ_ADAPTER, _g1_dev(p_list))
+    got = cj.decode_g1(_jmadd(cj.FQ_ADAPTER, P2, _g1_dev(q_list)))
+    want = [rc.G1.add(rc.G1.double(a), b) for a, b in zip(p_list, q_list)]
+    assert got == want
+
+
+def test_g2_madd():
+    _jmadd = jax.jit(cj.madd, static_argnums=0)
+    pts = _rand_g2(4)
+    p_list = [pts[0], pts[2], None, pts[3]]
+    q_list = [pts[1], rc.G2.neg(pts[2]), pts[0], pts[3]]
+    P2 = _jdouble(cj.FQ2_ADAPTER, _g2_dev(p_list))
+    got = cj.decode_g2(_jmadd(cj.FQ2_ADAPTER, P2, _g2_dev(q_list)))
+    want = [rc.G2.add(rc.G2.double(a), b) for a, b in zip(p_list, q_list)]
+    assert got == want
+
+
 def test_g1_double():
     pts = _rand_g1(4) + [None]
     P = _g1_dev(pts)
