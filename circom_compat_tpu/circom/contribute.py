@@ -1,0 +1,106 @@
+"""Phase-2 ceremony contribution (`snarkjs zkey contribute` equivalent).
+
+The reference library has no ceremony support (section 10 is named but
+never read, reference: src/zkey.rs:1-27); snarkjs owns this step in the
+upstream toolchain. A contribution with secret s transforms a Groth16
+proving key as:
+
+    delta_g1 *= s        delta_g2 *= s
+    l_query  *= s^-1     h_query  *= s^-1
+
+(the verification equation is invariant because L/H terms are paired
+against delta). The L/H rescaling is the expensive part — every query
+point times the same scalar — and runs on-device as a batched
+double-and-add scan (ops/curve_jax.scalar_mul_const), TPU-vectorized over
+the whole section: 2*254 fused point ops total instead of N host scalar
+multiplications.
+
+Contributor-key convention: g1_s is a random G1 point, g1_sx = g1_s * s,
+g2_spx = G2_gen * s, which satisfies the standard knowledge check
+e(g1_sx, G2) == e(g1_s, g2_spx) (zkey.verify_mpc_chain). snarkjs binds
+g2_spx to the transcript via hash-to-G2 instead; matching that exact
+transcript derivation is only meaningful against snarkjs' own verifier
+and is documented as out of scope.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import replace
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import R_SCALAR
+from ..ops import curve_jax as cj
+from ..refmath import curve as rc
+from .zkey import Contribution, G1Section, MPCParams, ProvingKey
+
+
+def _rescale_g1_section(section: G1Section, k: int) -> G1Section:
+    """Multiply every point of a G1 query section by k, on device."""
+    limbs = np.asarray(section.limbs, np.uint16).astype(np.uint32)
+    if limbs.shape[0] == 0:
+        return section
+    xs, ys = jnp.asarray(limbs[:, 0]), jnp.asarray(limbs[:, 1])
+    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, xs, ys)
+    out = cj.scalar_mul_const(cj.FQ_ADAPTER, jac, k % R_SCALAR)
+    pts = cj.decode_g1(out)
+    nx, ny = cj.encode_g1_affine(pts)
+    return G1Section(np.stack([nx, ny], axis=1).astype(np.uint16))
+
+
+def derive_secret(entropy: Optional[bytes] = None) -> int:
+    """Contribution secret from entropy (urandom-backed by default)."""
+    if entropy is None:
+        entropy = os.urandom(64)
+    s = int.from_bytes(hashlib.blake2b(entropy).digest(), "little") % R_SCALAR
+    return s or 1
+
+
+def contribute(
+    pk: ProvingKey,
+    entropy: Optional[bytes] = None,
+    name: str = "",
+) -> ProvingKey:
+    """Apply one phase-2 contribution; returns a new ProvingKey with the
+    updated delta/L/H sections and the contribution appended to pk.mpc."""
+    s = derive_secret(entropy)
+    s_inv = pow(s, -1, R_SCALAR)
+
+    delta_g1 = rc.G1.mul(pk.delta_g1, s)
+    delta_g2 = rc.G2.mul(pk.vk.delta_g2, s)
+    l_query = _rescale_g1_section(pk.l_query, s_inv)
+    h_query = _rescale_g1_section(pk.h_query, s_inv)
+
+    # contributor key: random-base knowledge proof of s
+    u = derive_secret(os.urandom(32) + (entropy or b""))
+    g1_s = rc.G1.mul(rc.g1_generator(), u)
+    g1_sx = rc.G1.mul(g1_s, s)
+    g2_spx = rc.G2.mul(rc.g2_generator(), s)
+
+    prev = pk.mpc or MPCParams()
+    transcript = hashlib.blake2b(
+        prev.cs_hash
+        + len(prev.contributions).to_bytes(4, "little")
+        + (delta_g1[0].to_bytes(32, "little") if delta_g1 else b"\0" * 32),
+        digest_size=64,
+    ).digest()
+    contrib = Contribution(
+        delta_after=delta_g1,
+        g1_s=g1_s,
+        g1_sx=g1_sx,
+        g2_spx=g2_spx,
+        transcript=transcript,
+        contrib_type=0,
+        name=name or None,
+    )
+    mpc = MPCParams(
+        cs_hash=prev.cs_hash, contributions=list(prev.contributions) + [contrib]
+    )
+    vk = replace(pk.vk, delta_g2=delta_g2)
+    return replace(
+        pk, vk=vk, delta_g1=delta_g1, l_query=l_query, h_query=h_query, mpc=mpc
+    )

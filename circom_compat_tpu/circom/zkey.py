@@ -119,6 +119,39 @@ class VerifyingKey:
 
 
 @dataclass
+class Contribution:
+    """One MPC ceremony contribution record (zkey section 10).
+
+    The reference skips section 10 entirely (its section list at
+    src/zkey.rs:1-27 names it but nothing reads it); this layout follows
+    snarkjs zkey_utils.js read/writeContribution: deltaAfter, the
+    contributor key (g1_s, g1_sx, g2_spx), a 64-byte transcript hash, a
+    type tag (0 = contribution, 1 = random beacon), then a sorted,
+    length-prefixed parameter list (1 = name, 2 = numIterationsExp,
+    3 = beaconHash)."""
+
+    delta_after: Optional[Tuple[int, int]]
+    g1_s: Optional[Tuple[int, int]]
+    g1_sx: Optional[Tuple[int, int]]
+    g2_spx: object
+    transcript: bytes  # 64-byte hash
+    contrib_type: int = 0
+    name: Optional[str] = None
+    num_iterations_exp: Optional[int] = None
+    beacon_hash: Optional[bytes] = None
+
+
+@dataclass
+class MPCParams:
+    """Zkey section 10: 64-byte circuit hash + contribution chain
+    (layout validated against snarkjs-generated test.zkey, whose section
+    10 is exactly 64 csHash bytes + u32 count)."""
+
+    cs_hash: bytes = b"\0" * 64
+    contributions: List[Contribution] = field(default_factory=list)
+
+
+@dataclass
 class ProvingKey:
     vk: VerifyingKey
     beta_g1: Optional[Tuple[int, int]]
@@ -132,6 +165,7 @@ class ProvingKey:
     n_vars: int
     n_public: int
     domain_size: int
+    mpc: Optional[MPCParams] = None
 
 
 @dataclass
@@ -286,7 +320,56 @@ class BinFile:
             n_vars=header.n_vars,
             n_public=header.n_public,
             domain_size=header.domain_size,
+            mpc=self.mpc_params(),
         )
+
+    def mpc_params(self) -> Optional[MPCParams]:
+        """Parse section 10 (ceremony contributions); None if absent."""
+        if 10 not in self.sections:
+            return None
+        sec = self._section(10)
+        if sec.size < 68:
+            # legacy dev-written keys: bare u32 count without csHash
+            return MPCParams()
+        self.reader.seek(sec.position)
+        end = sec.position + sec.size
+        r = self.reader
+        cs_hash = _read_exact(r, 64)
+        count = _u32(r)
+        contributions = []
+        for _ in range(count):
+            c = Contribution(
+                delta_after=_read_g1(r),
+                g1_s=_read_g1(r),
+                g1_sx=_read_g1(r),
+                g2_spx=_read_g2(r),
+                transcript=_read_exact(r, 64),
+                contrib_type=_u32(r),
+            )
+            param_len = _u32(r)
+            param_end = r.tell() + param_len
+            while r.tell() < param_end:
+                ptype = _u32(r)
+                if ptype == 1:  # name: null-terminated string
+                    raw = bytearray()
+                    while True:
+                        b = _read_exact(r, 1)
+                        if b == b"\0":
+                            break
+                        raw.extend(b)
+                    c.name = raw.decode("utf-8")
+                elif ptype == 2:
+                    c.num_iterations_exp = _u32(r)
+                elif ptype == 3:
+                    c.beacon_hash = _read_exact(r, 64)
+                else:
+                    raise ZKeyParseError(f"unknown contribution parameter {ptype}")
+            if r.tell() != param_end:
+                raise ZKeyParseError("contribution parameter length mismatch")
+            contributions.append(c)
+        if r.tell() > end:
+            raise ZKeyParseError("section 10 overrun")
+        return MPCParams(cs_hash=cs_hash, contributions=contributions)
 
     def matrices(self) -> ConstraintMatrices:
         header = self.groth_header()
@@ -391,6 +474,40 @@ def _read_g2(r: BinaryIO):
     if all(v == 0 for v in raws):
         return None
     return ((vals[0], vals[1]), (vals[2], vals[3]))
+
+
+def verify_mpc_chain(pk: ProvingKey) -> bool:
+    """Sanity-check the ceremony contribution chain in pk.mpc.
+
+    Checks (host-side, O(#contributions) pairings):
+      - every contribution point is on its curve and in the right subgroup;
+      - each contributor key is internally consistent:
+        e(g1_sx, g2) == e(g1_s, g2_spx)  (same secret s scales both);
+      - the final deltaAfter equals the proving key's delta_g1.
+
+    Full snarkjs `zkey verify` additionally recomputes the transcript hash
+    chain against the ptau file; that transcript (blake2b over the whole
+    key history) requires the original ptau and is out of scope — the
+    reference itself performs NO section-10 processing at all.
+    """
+    from ..refmath import curve as rc
+    from ..refmath import pairing as rp
+
+    mpc = pk.mpc
+    if mpc is None or not mpc.contributions:
+        return True
+    for c in mpc.contributions:
+        for p in (c.delta_after, c.g1_s, c.g1_sx):
+            if p is not None and not rc.g1_in_correct_subgroup(p):
+                return False
+        if c.g2_spx is not None and not rc.g2_in_correct_subgroup(c.g2_spx):
+            return False
+        # e(g1_sx, g2_gen) == e(g1_s, g2_spx)
+        lhs = rp.pairing(rc.g2_generator(), c.g1_sx)
+        rhs = rp.pairing(c.g2_spx, c.g1_s)
+        if lhs != rhs:
+            return False
+    return mpc.contributions[-1].delta_after == pk.delta_g1
 
 
 def read_zkey(path_or_reader) -> Tuple[ProvingKey, ConstraintMatrices]:

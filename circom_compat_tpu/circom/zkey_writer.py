@@ -21,7 +21,7 @@ from typing import BinaryIO, List, Sequence, Tuple
 import numpy as np
 
 from ..constants import Q, R_SCALAR
-from .zkey import ZKEY_MAGIC, FIELD_BYTES, ProvingKey
+from .zkey import ZKEY_MAGIC, FIELD_BYTES, MPCParams, ProvingKey
 
 
 def _mont_q(v: int) -> bytes:
@@ -43,6 +43,37 @@ def _g2_bytes(p) -> bytes:
         return b"\0" * (4 * FIELD_BYTES)
     (x0, x1), (y0, y1) = p
     return _mont_q(x0) + _mont_q(x1) + _mont_q(y0) + _mont_q(y1)
+
+
+def _mpc_bytes(mpc) -> bytes:
+    """Section 10: csHash + contribution chain (inverse of
+    zkey.BinFile.mpc_params; layout per snarkjs writeMPCParams)."""
+    if mpc is None:
+        mpc = MPCParams()
+    out = io.BytesIO()
+    out.write(mpc.cs_hash[:64].ljust(64, b"\0"))
+    out.write(struct.pack("<I", len(mpc.contributions)))
+    for c in mpc.contributions:
+        out.write(_g1_bytes(c.delta_after))
+        out.write(_g1_bytes(c.g1_s))
+        out.write(_g1_bytes(c.g1_sx))
+        out.write(_g2_bytes(c.g2_spx))
+        out.write(c.transcript[:64].ljust(64, b"\0"))
+        out.write(struct.pack("<I", c.contrib_type))
+        params = io.BytesIO()
+        if c.name is not None:
+            params.write(struct.pack("<I", 1))
+            params.write(c.name.encode("utf-8") + b"\0")
+        if c.num_iterations_exp is not None:
+            params.write(struct.pack("<I", 2))
+            params.write(struct.pack("<I", c.num_iterations_exp))
+        if c.beacon_hash is not None:
+            params.write(struct.pack("<I", 3))
+            params.write(c.beacon_hash[:64].ljust(64, b"\0"))
+        pb = params.getvalue()
+        out.write(struct.pack("<I", len(pb)))
+        out.write(pb)
+    return out.getvalue()
 
 
 def _section(w: BinaryIO, sec_id: int, payload: bytes) -> None:
@@ -105,7 +136,7 @@ def write_zkey(
     _section(buf, 7, sec_bytes(pk.b_g2_query))
     _section(buf, 8, sec_bytes(pk.l_query))
     _section(buf, 9, sec_bytes(pk.h_query))
-    _section(buf, 10, struct.pack("<I", 0))  # no contributions
+    _section(buf, 10, _mpc_bytes(pk.mpc))
 
     data = buf.getvalue()
     if hasattr(path_or_buf, "write"):
