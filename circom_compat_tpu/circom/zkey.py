@@ -242,9 +242,17 @@ class _Section:
 
 
 class BinFile:
-    """Section-scanned zkey binary (reference: src/zkey.rs:62-101)."""
+    """Section-scanned zkey binary (reference: src/zkey.rs:62-101).
 
-    def __init__(self, reader: BinaryIO):
+    `buffer`, when given, is a zero-copy view of the whole file (an mmap or
+    bytes object); bulk point/coefficient sections are then materialized as
+    numpy views directly into it — multi-GB keys page in lazily instead of
+    being read into RAM up front (SURVEY §3.3: "for 2^20-constraint keys
+    this is GBs of points — wants memory-mapped, sharded loading").
+    """
+
+    def __init__(self, reader: BinaryIO, buffer=None):
+        self.buffer = buffer
         magic = _read_exact(reader, 4)
         if magic != ZKEY_MAGIC:
             raise ZKeyParseError(f"invalid zkey magic {magic!r}")
@@ -278,19 +286,23 @@ class BinFile:
         self.reader.seek(sec.position)
         return _read_exact(self.reader, sec.size)
 
-    def g1_section(self, num: int, sec_id: int) -> G1Section:
+    def _bulk_u16(self, sec_id: int, nbytes: int) -> np.ndarray:
+        """Section payload as a <u2 limb array: a zero-copy view into the
+        mmap when available, else a read+copy."""
         sec = self._section(sec_id)
+        if self.buffer is not None:
+            return np.frombuffer(
+                self.buffer, dtype="<u2", count=nbytes // 2, offset=sec.position
+            )
         self.reader.seek(sec.position)
-        raw = _read_exact(self.reader, num * G1_BYTES)
-        limbs = np.frombuffer(raw, dtype="<u2").reshape(num, 2, 16).copy()
-        return G1Section(limbs)
+        raw = _read_exact(self.reader, nbytes)
+        return np.frombuffer(raw, dtype="<u2").copy()
+
+    def g1_section(self, num: int, sec_id: int) -> G1Section:
+        return G1Section(self._bulk_u16(sec_id, num * G1_BYTES).reshape(num, 2, 16))
 
     def g2_section(self, num: int, sec_id: int) -> G2Section:
-        sec = self._section(sec_id)
-        self.reader.seek(sec.position)
-        raw = _read_exact(self.reader, num * G2_BYTES)
-        limbs = np.frombuffer(raw, dtype="<u2").reshape(num, 4, 16).copy()
-        return G2Section(limbs)
+        return G2Section(self._bulk_u16(sec_id, num * G2_BYTES).reshape(num, 4, 16))
 
     def proving_key(self) -> ProvingKey:
         header = self.groth_header()
@@ -376,13 +388,18 @@ class BinFile:
         sec = self._section(4)
         self.reader.seek(sec.position)
         num_coeffs = _u32(self.reader)
-        raw = _read_exact(self.reader, num_coeffs * (12 + FIELD_BYTES))
 
         entry = np.dtype(
             [("matrix", "<u4"), ("constraint", "<u4"), ("signal", "<u4"),
              ("value", "<u2", (16,))]
         )
-        entries = np.frombuffer(raw, dtype=entry, count=num_coeffs)
+        if self.buffer is not None:
+            entries = np.frombuffer(
+                self.buffer, dtype=entry, count=num_coeffs, offset=sec.position + 4
+            )
+        else:
+            raw = _read_exact(self.reader, num_coeffs * (12 + FIELD_BYTES))
+            entries = np.frombuffer(raw, dtype=entry, count=num_coeffs)
 
         max_constraint = int(entries["constraint"].max()) if num_coeffs else 0
         num_constraints = max_constraint - header.n_public
@@ -510,11 +527,22 @@ def verify_mpc_chain(pk: ProvingKey) -> bool:
     return mpc.contributions[-1].delta_after == pk.delta_g1
 
 
-def read_zkey(path_or_reader) -> Tuple[ProvingKey, ConstraintMatrices]:
+def read_zkey(path_or_reader, use_mmap: bool = True) -> Tuple[ProvingKey, ConstraintMatrices]:
     """Load a snarkjs .zkey into (ProvingKey, ConstraintMatrices)
-    (reference: src/zkey.rs:53-60)."""
+    (reference: src/zkey.rs:53-60).
+
+    Paths are memory-mapped by default: the bulk query/coefficient sections
+    become zero-copy numpy views that page in lazily (the mapping outlives
+    the file handle via the arrays' .base reference)."""
     if hasattr(path_or_reader, "read"):
         binfile = BinFile(path_or_reader)
+        return binfile.proving_key(), binfile.matrices()
+    if use_mmap:
+        import mmap as _mmap
+
+        with open(path_or_reader, "rb") as fh:
+            mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+        binfile = BinFile(mm, buffer=mm)
         return binfile.proving_key(), binfile.matrices()
     with open(path_or_reader, "rb") as fh:
         data = fh.read()

@@ -11,6 +11,8 @@ snarkjs-interchangeable file formats:
                                       <proof.json>
   python -m circom_compat_tpu export-vkey <circuit.zkey> <verification_key.json>
   python -m circom_compat_tpu setup   <circuit.r1cs> <out.zkey> [vk.json]
+  python -m circom_compat_tpu contribute <in.zkey> <out.zkey> [--name N] [--entropy E]
+  python -m circom_compat_tpu verify-chain <circuit.zkey>
 
 proof.json / public.json / verification_key.json match snarkjs's JSON
 schema (decimal strings, G2 as [[c0,c1],...] with the JSON convention).
@@ -180,6 +182,34 @@ def cmd_setup(args) -> int:
     return 0
 
 
+def cmd_contribute(args) -> int:
+    """snarkjs `zkey contribute` equivalent (circom/contribute.py)."""
+    from .circom.contribute import contribute
+    from .circom.zkey import read_zkey
+    from .circom.zkey_writer import write_zkey
+
+    pk, matrices = read_zkey(args.zkey_in)
+    entropy = args.entropy.encode() if args.entropy else None
+    pk2 = contribute(pk, entropy=entropy, name=args.name)
+    write_zkey(args.zkey_out, pk2, matrices.a, matrices.b, matrices.num_constraints)
+    n = len(pk2.mpc.contributions)
+    print(f"contribution #{n} applied; wrote {args.zkey_out}")
+    return 0
+
+
+def cmd_verify_chain(args) -> int:
+    """Sanity-check the ceremony contribution chain in a zkey."""
+    from .circom.zkey import read_zkey, verify_mpc_chain
+
+    pk, _ = read_zkey(args.zkey)
+    n = len(pk.mpc.contributions) if pk.mpc else 0
+    ok = verify_mpc_chain(pk)
+    print(
+        f"{n} contribution(s): " + ("chain OK" if ok else "chain INVALID")
+    )
+    return 0 if ok else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="circom_compat_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -215,6 +245,17 @@ def main(argv=None) -> int:
     s.add_argument("zkey_out")
     s.add_argument("vkey_out", nargs="?", default=None)
     s.set_defaults(fn=cmd_setup)
+
+    c = sub.add_parser("contribute", help="apply a phase-2 ceremony contribution")
+    c.add_argument("zkey_in")
+    c.add_argument("zkey_out")
+    c.add_argument("--name", default="")
+    c.add_argument("--entropy", default=None, help="deterministic entropy (else urandom)")
+    c.set_defaults(fn=cmd_contribute)
+
+    vc = sub.add_parser("verify-chain", help="check the zkey contribution chain")
+    vc.add_argument("zkey")
+    vc.set_defaults(fn=cmd_verify_chain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

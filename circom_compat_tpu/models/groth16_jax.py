@@ -197,17 +197,22 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
     return core
 
 
-def default_window_bits() -> int:
-    """13-bit windows measured 1.26x over 8-bit on TPU (BASELINE.md); the
-    8192-bucket shapes are too heavy for the CPU-simulated test mesh."""
+def default_window_bits(n: Optional[int] = None) -> int:
+    """Size-tuned window on TPU (ops/msm.pick_window_bits, validated by the
+    2^20 sweep); fixed 8 on the CPU-simulated test mesh, where the large
+    bucket shapes are too heavy."""
     import jax
 
-    return 13 if jax.default_backend() != "cpu" else 8
+    if jax.default_backend() == "cpu":
+        return 8
+    if n is None:
+        return 13
+    return msm_ops.pick_window_bits(n)
 
 
 def get_prove_core(dpk: DeviceProvingKey, window_bits: Optional[int] = None):
     if window_bits is None:
-        window_bits = default_window_bits()
+        window_bits = default_window_bits(max(dpk.n_vars, dpk.domain_size))
     key = ("core", window_bits)
     if key not in dpk._cache:
         dpk._cache[key] = jax.jit(_prove_core(dpk, window_bits))
@@ -248,7 +253,7 @@ def prove_prepared(
     window_bits: Optional[int] = None,
 ):
     if window_bits is None:
-        window_bits = default_window_bits()
+        window_bits = default_window_bits(max(dpk.n_vars, dpk.domain_size))
     assignment = [int(a) % R_SCALAR for a in full_assignment]
     asg_plain = jnp.asarray(fj.encode_plain(assignment))
     core = get_prove_core(dpk, window_bits)

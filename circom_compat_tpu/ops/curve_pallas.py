@@ -40,8 +40,9 @@ from . import curve_jax as cj
 from . import field_jax as fj
 from . import field_lm as flm
 
-# (16, 2): column 0 = p limbs, column 1 = (2^256 - p) limbs.
-FQ_CONSTS_LM = np.stack([fj.FQ.p_limbs, fj.FQ.pc_limbs], axis=1)
+# (16, 3): column 0 = p limbs, column 1 = (2^256 - p) limbs, column 2 = R mod p
+# (Montgomery one, for the identity point inside the tile-scan kernel).
+FQ_CONSTS_LM = np.stack([fj.FQ.p_limbs, fj.FQ.pc_limbs, fj.FQ.one_mont], axis=1)
 
 LANE_BLOCK = 512  # lanes per kernel invocation (4 full VPU lane groups)
 
@@ -147,7 +148,7 @@ def _add_blocked_lm(is_fq2, p_flat, q_flat, block, mixed=False):
         lambda i: (0,) * len(coord) + (i,),
         memory_space=pltpu.VMEM,
     )
-    bs_const = pl.BlockSpec((16, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bs_const = pl.BlockSpec((16, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = tuple(
         jax.ShapeDtypeStruct(coord + (m,), jnp.uint32) for _ in range(3)
     )
@@ -201,3 +202,134 @@ g1_add_pallas = make_pallas_add(False)
 g2_add_pallas = make_pallas_add(True)
 g1_madd_pallas = make_pallas_add(False, mixed=True)
 g2_madd_pallas = make_pallas_add(True, mixed=True)
+
+
+# ---------------------------------------------------------------------------
+# Fused within-tile segmented scan (Phase A of ops/segments.segmented_scan)
+# ---------------------------------------------------------------------------
+
+
+def _tile_scan_kernel(is_fq2: bool, K: int, mixed: bool):
+    body = cj.madd_impl if mixed else cj.add_impl
+
+    def kernel(consts, vx, vy, vz, flags, ox, oy, oz, cx, cy, cz):
+        lanes = vx.shape[-1]
+        p_col = jnp.broadcast_to(consts[:, 0:1], (16, lanes))
+        pc_col = jnp.broadcast_to(consts[:, 1:2], (16, lanes))
+        one_col = jnp.broadcast_to(consts[:, 2:3], (16, lanes))
+        F = _lm_adapter(p_col, pc_col, is_fq2)
+
+        if is_fq2:
+            one2 = jnp.concatenate(
+                [one_col[None], jnp.zeros_like(one_col)[None]], axis=0
+            )
+            acc0 = (one2, one2, jnp.zeros_like(one2))
+        else:
+            acc0 = (one_col, one_col, jnp.zeros_like(one_col))
+
+        # K sequential segmented-scan steps, all intermediates in VMEM:
+        # acc = flags[k] ? v[k] : combine(acc, v[k]); out[k] = acc.
+        # fori_loop (not a Python unroll): one combine instance in the
+        # kernel graph — the unrolled form is K times the size and sends
+        # both Mosaic and interpret-mode compiles over the edge.
+        def step(k, acc):
+            vk = (vx[k], vy[k], vz[k])
+            fmask = flags[k] != 0  # (1, lanes)
+            merged = body(F, acc, vk)
+            if is_fq2:
+                sel = lambda a, b: jnp.where(fmask[None], a, b)
+            else:
+                sel = lambda a, b: jnp.where(fmask, a, b)
+            acc = tuple(sel(v, m) for v, m in zip(vk, merged))
+            ox[k] = acc[0]
+            oy[k] = acc[1]
+            oz[k] = acc[2]
+            return acc
+
+        acc = jax.lax.fori_loop(0, K, step, acc0)
+        cx[:] = acc[0]
+        cy[:] = acc[1]
+        cz[:] = acc[2]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _tile_scan_blocked(is_fq2, v_flat, flags, t, block, mixed):
+    """v_flat: coords shaped (K, 16, T) Fq / (K, 2, 16, T) Fq2 (limb-major,
+    tile-step-major); flags: (K, 1, T) int32. T % block == 0."""
+    K = v_flat[0].shape[0]
+    coord = v_flat[0].shape[1:-1]  # (16,) or (2, 16)
+    grid = (t // block,)
+    zeros = (0,) * len(coord)
+    bs_v = pl.BlockSpec(
+        (K,) + coord + (block,), lambda i: (0,) + zeros + (i,),
+        memory_space=pltpu.VMEM,
+    )
+    bs_f = pl.BlockSpec((K, 1, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    bs_c = pl.BlockSpec(coord + (block,), lambda i: zeros + (i,), memory_space=pltpu.VMEM)
+    bs_const = pl.BlockSpec((16, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((K,) + coord + (t,), jnp.uint32) for _ in range(3)
+    ) + tuple(jax.ShapeDtypeStruct(coord + (t,), jnp.uint32) for _ in range(3))
+    outs = pl.pallas_call(
+        _tile_scan_kernel(is_fq2, K, mixed),
+        grid=grid,
+        in_specs=[bs_const, bs_v, bs_v, bs_v, bs_f],
+        out_specs=(bs_v, bs_v, bs_v, bs_c, bs_c, bs_c),
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray(FQ_CONSTS_LM), *v_flat, flags)
+    return outs[:3], outs[3:]
+
+
+def make_tile_scan(is_fq2: bool, block: int = LANE_BLOCK, mixed: bool = False):
+    """Returns tile_scan(vt, ft) for segments.segmented_scan Phase A.
+
+    vt: point pytree with leading dims (T, K) + coord (limb-minor);
+    ft: (T, K) bool. Returns (out, carry): the within-tile inclusive
+    segmented scan (restarting at flags) and each tile's final value.
+    One pallas_call replaces K per-step combine launches plus their XLA
+    merge glue — the per-step overhead that capped the MSM at ~220 k
+    points/s with the per-combine kernel.
+    """
+    coord = (2, 16) if is_fq2 else (16,)
+    cdim = len(coord)
+
+    def to_km(x, T, K):  # (T, K) + coord -> (K,) + coord + (T,)
+        perm = (1,) + tuple(range(2, 2 + cdim)) + (0,)
+        return jnp.transpose(x, perm)
+
+    def from_km(x, T, K):  # inverse
+        perm = (1 + cdim,) + (0,) + tuple(range(1, 1 + cdim))
+        return jnp.transpose(x, perm)
+
+    def tile_scan(vt, ft):
+        T, K = ft.shape
+        pad = (-T) % block
+        tp = T + pad
+
+        def prep(c):
+            if pad:
+                c = jnp.concatenate(
+                    [c, jnp.zeros((pad, K) + coord, jnp.uint32)], axis=0
+                )
+            return to_km(c, tp, K)
+
+        v_flat = tuple(prep(c) for c in vt)
+        f = ft.astype(jnp.int32)
+        if pad:
+            f = jnp.concatenate([f, jnp.ones((pad, K), jnp.int32)], axis=0)
+        f = jnp.transpose(f, (1, 0))[:, None, :]  # (K, 1, T)
+        out_km, carry_km = _tile_scan_blocked(is_fq2, v_flat, f, tp, min(block, tp), mixed)
+        out = tuple(from_km(o, tp, K)[:T] for o in out_km)
+        carry = tuple(jnp.moveaxis(c, -1, 0)[:T] for c in carry_km)
+        return out, carry
+
+    return tile_scan
+
+
+g1_tile_scan_madd = make_tile_scan(False, mixed=True)
+g1_tile_scan = make_tile_scan(False)
+g2_tile_scan_madd = make_tile_scan(True, mixed=True)
+g2_tile_scan = make_tile_scan(True)

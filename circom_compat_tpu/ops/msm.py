@@ -56,8 +56,18 @@ def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
     return jnp.stack(out, axis=0)
 
 
-CHUNK_POINTS = 1 << 16  # live working set cap: throughput measured to drop
-# ~2x at 2^20 when the per-window gather+scan exceeds this (BASELINE.md)
+CHUNK_POINTS = 1 << 20  # live working set cap. With the XLA-composed
+# combine this had to be 2^16 (intermediate tensors blew the working set);
+# the Pallas fused combine keeps per-combine footprint tiny and the sweep
+# measured unchunked 2^20 fastest (334k vs 311k pts/s chunked, w=16).
+
+
+def pick_window_bits(n: int) -> int:
+    """Minimize scan-Pippenger work W(w)*(n + 2*2^w), W = ceil(254/w).
+
+    The 2*2^w term is the per-window bucket suffix scan + fold; validated
+    by the 2^20 sweep (w=16 unchunked beat w=13..15). Clamped to [8, 16]."""
+    return min(range(8, 17), key=lambda w: -(-SCALAR_BITS // w) * (n + 2 * (1 << w)))
 
 
 def combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
@@ -86,7 +96,23 @@ def leaf_combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
     return lambda a, b: cj.madd(F, a, b)
 
 
-def _window_sums_one_chunk(F, points, scalars, window_bits, combine=None, leaf=None):
+def tile_scans_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
+    """(tile_scan_leaf, tile_scan_general) fused Phase-A executors, or
+    (None, None) on the XLA path (fori-loop Phase A)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if not use_pallas:
+        return None, None
+    from . import curve_pallas as cp
+
+    if F.name == "fq2":
+        return cp.g2_tile_scan_madd, cp.g2_tile_scan
+    return cp.g1_tile_scan_madd, cp.g1_tile_scan
+
+
+def _window_sums_one_chunk(
+    F, points, scalars, window_bits, combine=None, leaf=None, tscans=None
+):
     B = 1 << window_bits
     digits = window_digits(scalars, window_bits)  # (W, N)
     ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
@@ -94,18 +120,22 @@ def _window_sums_one_chunk(F, points, scalars, window_bits, combine=None, leaf=N
         combine = combine_for(F)
     if leaf is None:
         leaf = leaf_combine_for(F)
+    if tscans is None:
+        tscans = tile_scans_for(F)
+    ts_leaf, ts_gen = tscans
 
     def per_window(d_row):
         order = jnp.argsort(d_row)
         keys = d_row[order]
         pts = jax.tree_util.tree_map(lambda a: a[order], points)
         buckets = segments.reduce_by_sorted_key(
-            combine, pts, keys, B, ident, combine_leaf=leaf
+            combine, pts, keys, B, ident,
+            combine_leaf=leaf, tile_scan=ts_leaf, tile_scan_general=ts_gen,
         )
         # sum_{j=1}^{B-1} j * S_j  ==  sum of suffix sums of S_{B-1}..S_1.
         rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
-        suffix = segments.inclusive_scan(combine, rev, ident)
-        return segments.fold(combine, suffix, ident)
+        suffix = segments.inclusive_scan(combine, rev, ident, tile_scan=ts_gen)
+        return segments.fold(combine, suffix, ident, tile_scan=ts_gen)
 
     return jax.lax.map(per_window, digits)
 
@@ -127,9 +157,12 @@ def window_sums_impl(
     """
     combine = combine_for(F, use_pallas)
     leaf = leaf_combine_for(F, use_pallas)
+    tscans = tile_scans_for(F, use_pallas)
     n = scalars.shape[0]
     if n <= chunk_points:
-        return _window_sums_one_chunk(F, points, scalars, window_bits, combine, leaf)
+        return _window_sums_one_chunk(
+            F, points, scalars, window_bits, combine, leaf, tscans
+        )
 
     pad = (-n) % chunk_points
     if pad:
@@ -151,8 +184,11 @@ def window_sums_impl(
 
     def one(args):
         pts, sc = args
-        return _window_sums_one_chunk(F, pts, sc, window_bits, combine, leaf)
+        return _window_sums_one_chunk(F, pts, sc, window_bits, combine, leaf, tscans)
 
+    # C is small (N/chunk_points <= 32 up to 2^21): the fold's scan hits the
+    # Hillis-Steele base case, so no tile_scan (whose kernel assumes bare
+    # point coords, not the extra (W,) window dim these sums carry).
     chunk_sums = jax.lax.map(one, (pts_c, sc_c))  # (C, W, pt)
     ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
     return segments.fold(combine, chunk_sums, ident)

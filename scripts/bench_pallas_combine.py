@@ -135,6 +135,50 @@ def stage_msm(log_n, window_bits=13, log_chunk=16):
     )
 
 
+def stage_check(n=2048, window_bits=13):
+    """Full-size integration correctness on real TPU: device window sums +
+    host fold vs a naive refmath MSM (exact Python ints)."""
+    import random
+
+    from circom_compat_tpu.refmath import curve as rc
+
+    rng = random.Random(42)
+    pts = [rc.G1.mul(rc.g1_generator(), rng.randrange(1, rc.R_SCALAR)) for _ in range(64)]
+    pts = pts * (n // 64)
+    scalars = [rng.randrange(0, rc.R_SCALAR) for _ in range(n)]
+    xs, ys = cj.encode_g1_affine(pts)
+    got = msm_ops.msm_g1((np.asarray(xs), np.asarray(ys)), scalars, window_bits)
+    want = None
+    for p, k in zip(pts, scalars):
+        want = rc.G1.add(want, rc.G1.mul(p, k))
+    assert got == want, f"MSM mismatch: {got} != {want}"
+    log(f"RESULT msm_check_n{n}_w{window_bits}: OK (device == refmath)")
+
+
+def stage_e2e():
+    """Steady-state prove core on the cached complex-circuit zkey."""
+    import pathlib
+
+    from circom_compat_tpu import read_zkey
+    from circom_compat_tpu.models import groth16_jax as gj
+
+    zkey = pathlib.Path("/root/repo/.cache/complex-circuit-10000-10000.zkey")
+    if not zkey.exists():
+        log("[e2e] no cached zkey; skipping")
+        return
+    pk, matrices = read_zkey(zkey)
+    dpk = gj.DeviceProvingKey.build(pk, matrices, matrices.num_constraints)
+    core = gj.get_prove_core(dpk)
+    import jax.numpy as jnp
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    asg = jnp.asarray(fj.encode_plain(list(range(1, dpk.n_vars + 1)), fj.FR))
+    log("[e2e] compiling prove core ...")
+    t = time_steady(lambda: core(asg))
+    log(f"RESULT e2e_prove_core_10000: {t:.3f} s steady-state")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stages", default="adds,msm16,msm20,g2")
@@ -143,20 +187,21 @@ def main():
     stages = args.stages.split(",")
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    if "adds" in stages:
-        stage_adds(args.n)
-    if "msm16" in stages:
-        stage_msm(16)
-    if "msm20" in stages:
-        stage_msm(20)
-    if "g2" in stages:
-        stage_adds_g2(args.n // 4)
-    # chunk/window sweep at 2^20: bigger chunks amortize windows (fewer
-    # window passes per point) now that the combine's working set is tiny.
-    if "sweep" in stages:
-        stage_msm(20, 14, 17)
-        stage_msm(20, 15, 18)
-        stage_msm(20, 16, 20)
+    dispatch = {
+        "adds": lambda: stage_adds(args.n),
+        "msm16": lambda: stage_msm(16, 13, 16),
+        "msm20": lambda: stage_msm(20),
+        "msm20w16": lambda: stage_msm(20, 16, 20),
+        "g2": lambda: stage_adds_g2(args.n // 4),
+        # chunk/window sweep at 2^20: bigger chunks amortize windows now
+        # that the combine's working set is tiny.
+        "sweep": lambda: (stage_msm(20, 14, 17), stage_msm(20, 15, 18),
+                          stage_msm(20, 16, 20)),
+        "check": stage_check,
+        "e2e": stage_e2e,
+    }
+    for s in stages:
+        dispatch[s]()
     log("DONE")
 
 

@@ -46,6 +46,30 @@ def test_cli_full_flow(tmp_path, test_vectors):
     ]) == 1
 
 
+def test_cli_contribute_and_verify_chain(tmp_path, test_vectors):
+    zkey = str(test_vectors / "test.zkey")
+    out1 = str(tmp_path / "c1.zkey")
+    out2 = str(tmp_path / "c2.zkey")
+    assert main(["verify-chain", zkey]) == 0  # empty chain is valid
+    assert main(["contribute", zkey, out1, "--name", "alice",
+                 "--entropy", "deterministic-a"]) == 0
+    assert main(["contribute", out1, out2, "--name", "bob",
+                 "--entropy", "deterministic-b"]) == 0
+    assert main(["verify-chain", out2]) == 0
+    pk, _ = read_zkey(out2)
+    assert [c.name for c in pk.mpc.contributions] == ["alice", "bob"]
+    # proofs against the contributed key still verify (prove+verify CLI)
+    inp = tmp_path / "in.json"
+    json.dump({"a": 3, "b": 11}, open(inp, "w"))
+    wasm = str(test_vectors / "mycircuit_js" / "mycircuit.wasm")
+    assert main(["witness", wasm, str(inp), str(tmp_path / "w.wtns")]) == 0
+    assert main(["export-vkey", out2, str(tmp_path / "vk2.json")]) == 0
+    assert main(["prove", out2, str(tmp_path / "w.wtns"),
+                 str(tmp_path / "p.json"), str(tmp_path / "pub.json")]) == 0
+    assert main(["verify", str(tmp_path / "vk2.json"),
+                 str(tmp_path / "pub.json"), str(tmp_path / "p.json")]) == 0
+
+
 def test_cli_export_vkey_matches_snarkjs_golden(tmp_path, test_vectors):
     out = tmp_path / "vk.json"
     assert main(["export-vkey", str(test_vectors / "test.zkey"), str(out)]) == 0

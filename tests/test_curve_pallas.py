@@ -92,16 +92,71 @@ def test_pallas_combine_in_segmented_reduce():
     assert got == want
 
 
-def test_msm_window_sums_pallas_matches_xla():
-    """End-to-end MSM window sums with the Pallas combine forced on."""
-    from circom_compat_tpu.ops import msm as msm_ops
-    from circom_compat_tpu.ops import field_jax as fj
+def _expected_tile_scan(pts_list, flags, T, K, group):
+    """Python-int reference of the within-tile segmented scan semantics."""
+    out = []
+    carry = []
+    for t in range(T):
+        acc = None
+        row = []
+        for k in range(K):
+            v = pts_list[t * K + k]
+            acc = v if flags[t * K + k] else group.add(acc, v)
+            row.append(acc)
+        out.append(row)
+        carry.append(acc)
+    return out, carry
 
-    n = 32
+
+def test_tile_scan_kernel_g1():
+    """Direct parity of the fused Phase-A kernel (madd leaf) vs refmath:
+    out[t,k] = inclusive within-tile segmented scan, carry[t] = tile total.
+    Full-size integration runs on real TPU (scripts/bench_pallas_combine
+    --stages check)."""
+    T, K = 3, 16
+    n = T * K
     pts = _rand_g1(n)
-    scalars = [RNG.randrange(0, rc.R_SCALAR) for _ in range(n)]
-    sc = jnp.asarray(fj.encode_plain(scalars, fj.FR))
-    jac = _g1_dev(pts)
-    ref = msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, sc, 8, use_pallas=False)
-    got = msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, sc, 8, use_pallas=True)
-    assert cj.decode_g1(got) == cj.decode_g1(ref)
+    flags = [(i % K == 0) or (i % 7 == 3) for i in range(n)]
+    P = _g1_dev(pts)
+    vt = jax.tree_util.tree_map(lambda c: c.reshape(T, K, 16), P)
+    ft = jnp.asarray(np.array(flags).reshape(T, K))
+    ts = cp.make_tile_scan(False, block=128, mixed=True)
+    out, carry = ts(vt, ft)
+    out_flat = jax.tree_util.tree_map(lambda c: c.reshape(T * K, 16), out)
+    want_out, want_carry = _expected_tile_scan(pts, flags, T, K, rc.G1)
+    assert cj.decode_g1(out_flat) == [x for row in want_out for x in row]
+    assert cj.decode_g1(carry) == want_carry
+
+
+def test_tile_scan_kernel_g1_general_jacobian():
+    """General (non-madd) kernel with genuinely-Jacobian inputs (Z != 1)."""
+    T, K = 2, 8
+    n = T * K
+    pts = _rand_g1(n)
+    flags = [i % K == 0 for i in range(n)]
+    P2 = jax.jit(cj.double, static_argnums=0)(cj.FQ_ADAPTER, _g1_dev(pts))
+    vt = jax.tree_util.tree_map(lambda c: c.reshape(T, K, 16), P2)
+    ft = jnp.asarray(np.array(flags).reshape(T, K))
+    ts = cp.make_tile_scan(False, block=128)
+    out, carry = ts(vt, ft)
+    doubled = [rc.G1.double(p) for p in pts]
+    want_out, want_carry = _expected_tile_scan(doubled, flags, T, K, rc.G1)
+    out_flat = jax.tree_util.tree_map(lambda c: c.reshape(T * K, 16), out)
+    assert cj.decode_g1(out_flat) == [x for row in want_out for x in row]
+    assert cj.decode_g1(carry) == want_carry
+
+
+def test_tile_scan_kernel_g2():
+    T, K = 2, 8
+    n = T * K
+    pts = _rand_g2(n - 1) + [None]  # include infinity
+    flags = [i % K == 0 for i in range(n)]
+    P = _g2_dev(pts)
+    vt = jax.tree_util.tree_map(lambda c: c.reshape(T, K, 2, 16), P)
+    ft = jnp.asarray(np.array(flags).reshape(T, K))
+    ts = cp.make_tile_scan(True, block=128, mixed=True)
+    out, carry = ts(vt, ft)
+    want_out, want_carry = _expected_tile_scan(pts, flags, T, K, rc.G2)
+    out_flat = jax.tree_util.tree_map(lambda c: c.reshape(T * K, 2, 16), out)
+    assert cj.decode_g2(out_flat) == [x for row in want_out for x in row]
+    assert cj.decode_g2(carry) == want_carry

@@ -16,6 +16,21 @@ def zkey(test_vectors):
     return read_zkey(test_vectors / "test.zkey")
 
 
+def test_mmap_load_parity(test_vectors):
+    """Memory-mapped (zero-copy) load must match the buffered path."""
+    import numpy as np
+
+    from circom_compat_tpu import read_zkey
+
+    pk1, m1 = read_zkey(test_vectors / "test.zkey")  # mmap default
+    pk2, m2 = read_zkey(test_vectors / "test.zkey", use_mmap=False)
+    assert np.array_equal(pk1.a_query.limbs, pk2.a_query.limbs)
+    assert np.array_equal(pk1.b_g2_query.limbs, pk2.b_g2_query.limbs)
+    assert np.array_equal(m1.a_values_mont, m2.a_values_mont)
+    assert m1.a == m2.a and m1.b == m2.b
+    assert pk1.vk.gamma_abc_g1 == pk2.vk.gamma_abc_g1
+
+
 def test_header(zkey):
     pk, _ = zkey
     assert pk.n_vars == 4
