@@ -70,8 +70,9 @@ def run_e2e(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n", type=int, default=16)
-    ap.add_argument("--window-bits", type=int, default=13)
+    ap.add_argument("--log-n", type=int, default=20)
+    ap.add_argument("--window-bits", type=int, default=0,
+                    help="0 = auto (ops/msm.pick_window_bits)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--e2e", action="store_true",
@@ -99,6 +100,8 @@ def main():
     from circom_compat_tpu.refmath import curve as rc
 
     n = 1 << args.log_n
+    if not args.window_bits:
+        args.window_bits = msm_ops.pick_window_bits(n) if jax.default_backend() != "cpu" else 8
     rng = random.Random(1)
 
     # Bases: random multiples of the generator, generated cheaply on device

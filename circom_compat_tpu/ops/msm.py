@@ -56,6 +56,33 @@ def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
     return jnp.stack(out, axis=0)
 
 
+def window_digits_signed(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
+    """(N, 16) limbs -> (W, N) int32 SIGNED digits in [-2^(w-1), 2^(w-1)].
+
+    Standard signed-window recoding: a digit >= 2^(w-1) becomes d - 2^w
+    with a +1 carry into the next window, so buckets cover |d| in
+    [1, 2^(w-1)] — half the bucket count of the unsigned form (negating a
+    point is free: -(X, Y, Z) = (X, -Y, Z)). The TOP window stays unsigned
+    to absorb the final carry (BN254 scalars are < 2^254, so the top digit
+    plus carry still fits; a signed top window could drop a 2^255 carry).
+    """
+    d = window_digits(scalars, window_bits)  # (W, N) int32, unsigned
+    half = 1 << (window_bits - 1)
+    full = 1 << window_bits
+
+    def body(carry, row):
+        row = row + carry
+        neg = row >= half
+        out = jnp.where(neg, row - full, row)
+        return neg.astype(jnp.int32), out
+
+    carry, signed_rows = jax.lax.scan(
+        body, jnp.zeros(d.shape[1], jnp.int32), d[:-1]
+    )
+    top = d[-1] + carry
+    return jnp.concatenate([signed_rows, top[None]], axis=0)
+
+
 CHUNK_POINTS = 1 << 20  # live working set cap. With the XLA-composed
 # combine this had to be 2^16 (intermediate tensors blew the working set);
 # the Pallas fused combine keeps per-combine footprint tiny and the sweep
@@ -63,11 +90,15 @@ CHUNK_POINTS = 1 << 20  # live working set cap. With the XLA-composed
 
 
 def pick_window_bits(n: int) -> int:
-    """Minimize scan-Pippenger work W(w)*(n + 2*2^w), W = ceil(254/w).
+    """Minimize scan-Pippenger work W(w)*(n + 1.5*2^w), W = ceil(254/w).
 
-    The 2*2^w term is the per-window bucket suffix scan + fold; validated
-    by the 2^20 sweep (w=16 unchunked beat w=13..15). Clamped to [8, 16]."""
-    return min(range(8, 17), key=lambda w: -(-SCALAR_BITS // w) * (n + 2 * (1 << w)))
+    The bucket-tail coefficient is calibrated on the measured 2^20 sweep
+    (w16 unchunked 503k > w17 479.7k > w15/w13 with signed digits).
+    Clamped to [8, 17]."""
+    return min(
+        range(8, 18),
+        key=lambda w: -(-SCALAR_BITS // w) * (n + (3 << w) // 2),
+    )
 
 
 def combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
@@ -111,10 +142,14 @@ def tile_scans_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
 
 
 def _window_sums_one_chunk(
-    F, points, scalars, window_bits, combine=None, leaf=None, tscans=None
+    F, points, scalars, window_bits, combine=None, leaf=None, tscans=None,
+    signed=None,
 ):
-    B = 1 << window_bits
-    digits = window_digits(scalars, window_bits)  # (W, N)
+    if signed is None:
+        # measured: signed digits win at large windows (2^20/w16: 503k vs
+        # 459.7k pts/s) but the recode + per-window negation overhead loses
+        # at small ones (2^16/w13: 261k vs 282k).
+        signed = window_bits >= 14
     ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
     if combine is None:
         combine = combine_for(F)
@@ -124,10 +159,29 @@ def _window_sums_one_chunk(
         tscans = tile_scans_for(F)
     ts_leaf, ts_gen = tscans
 
+    if signed:
+        digits = window_digits_signed(scalars, window_bits)  # (W, N) signed
+        B = (1 << (window_bits - 1)) + 1  # buckets |d| in [0, 2^(w-1)]
+    else:
+        digits = window_digits(scalars, window_bits)  # (W, N)
+        B = 1 << window_bits
+
     def per_window(d_row):
-        order = jnp.argsort(d_row)
-        keys = d_row[order]
+        if signed:
+            keys_raw = jnp.abs(d_row)
+            negm = d_row < 0
+        else:
+            keys_raw = d_row
+        order = jnp.argsort(keys_raw)
+        keys = keys_raw[order]
         pts = jax.tree_util.tree_map(lambda a: a[order], points)
+        if signed:
+            # negate the gathered points where the digit was negative:
+            # -(X, Y, Z) = (X, -Y, Z); bucket 0 unaffected (digit 0 is
+            # never negative).
+            negs = negm[order]
+            X, Y, Z = pts
+            pts = (X, F.select(negs, F.neg(Y), Y), Z)
         buckets = segments.reduce_by_sorted_key(
             combine, pts, keys, B, ident,
             combine_leaf=leaf, tile_scan=ts_leaf, tile_scan_general=ts_gen,
@@ -147,6 +201,7 @@ def window_sums_impl(
     window_bits: int = 8,
     chunk_points: int = CHUNK_POINTS,
     use_pallas: Optional[bool] = None,
+    signed: Optional[bool] = None,
 ) -> cj.Point:
     """Per-window Pippenger sums; returns point pytree with leading dim W.
 
@@ -161,7 +216,7 @@ def window_sums_impl(
     n = scalars.shape[0]
     if n <= chunk_points:
         return _window_sums_one_chunk(
-            F, points, scalars, window_bits, combine, leaf, tscans
+            F, points, scalars, window_bits, combine, leaf, tscans, signed
         )
 
     pad = (-n) % chunk_points
@@ -184,7 +239,9 @@ def window_sums_impl(
 
     def one(args):
         pts, sc = args
-        return _window_sums_one_chunk(F, pts, sc, window_bits, combine, leaf, tscans)
+        return _window_sums_one_chunk(
+            F, pts, sc, window_bits, combine, leaf, tscans, signed
+        )
 
     # C is small (N/chunk_points <= 32 up to 2^21): the fold's scan hits the
     # Hillis-Steele base case, so no tile_scan (whose kernel assumes bare
@@ -194,7 +251,7 @@ def window_sums_impl(
     return segments.fold(combine, chunk_sums, ident)
 
 
-msm_window_sums = jax.jit(window_sums_impl, static_argnums=(0, 3, 4, 5))
+msm_window_sums = jax.jit(window_sums_impl, static_argnums=(0, 3, 4, 5, 6))
 
 
 # ---------------------------------------------------------------------------

@@ -85,13 +85,20 @@ class WitnessCalculator:
             # the reference allocates a 2000-page host memory for this ABI
             imports[("env", "memory")] = Memory(2000)
 
-        # Prefer the native C++ execution engine (native/wasm_vm.cpp, the
-        # Wasmer-equivalent of the reference stack); fall back to the pure-
-        # Python interpreter on any setup failure or CIRCOM_TPU_NATIVE=0.
+        # Execution engine preference: AOT-compiled native code (wasm/aot.py,
+        # the Cranelift-JIT-equivalent of the reference stack) > C++ bytecode
+        # VM (native/wasm_vm.cpp) > pure-Python interpreter. Each falls back
+        # on setup failure; CIRCOM_TPU_AOT=0 / CIRCOM_TPU_NATIVE=0 disable.
         self.instance = None
+        from .wasm import aot as _aot
         from .wasm import native as _native
 
-        if _native.native_available():
+        if _aot.aot_available():
+            try:
+                self.instance = _aot.AotInstance(module, imports)
+            except Exception:
+                self.instance = None
+        if self.instance is None and _native.native_available():
             try:
                 self.instance = _native.NativeInstance(module, imports)
             except Exception:
@@ -182,6 +189,10 @@ class WitnessCalculator:
                 )
 
         witness_size = ex("getWitnessSize")()
+        if hasattr(self.instance, "read_witness_batch"):
+            # AOT engine: whole readback loop in one native call instead of
+            # witness_size * (1 + n32) ctypes round-trips.
+            return self.instance.read_witness_batch(witness_size, n32)
         get_witness = ex("getWitness")
         read_shared = ex("readSharedRWMemory")
         out: List[int] = []
@@ -214,11 +225,26 @@ class WitnessCalculator:
                 set_signal(0, 0, sig_offset + i, p_fr)
 
         n_vars = ex("getNVars")()
-        get_p_witness = ex("getPWitness")
-        out: List[int] = []
-        for i in range(n_vars):
-            ptr = get_p_witness(i)
-            out.append(safe.read_fr(ptr) % self.prime)
+        if hasattr(self.instance, "call_range"):
+            # AOT engine: fetch all wire pointers in one native loop, then
+            # decode the Fr structs from a single memory snapshot.
+            ptrs = self.instance.call_range("getPWitness", n_vars)
+            lo = min(ptrs)
+            hi = max(ptrs) + 8 + self.n32 * 4
+            snap = self.instance.memory.read(lo, hi - lo)
+
+            class _Snap:
+                def read(self, addr, n, _s=snap, _lo=lo):
+                    return _s[addr - _lo : addr - _lo + n]
+
+            s2 = SafeMemory(_Snap(), self.n32)
+            out = [s2.read_fr(p) % self.prime for p in ptrs]
+        else:
+            get_p_witness = ex("getPWitness")
+            out = []
+            for i in range(n_vars):
+                ptr = get_p_witness(i)
+                out.append(safe.read_fr(ptr) % self.prime)
         safe.set_free_pos(old_free)
         return out
 

@@ -192,6 +192,7 @@ def main():
         "msm16": lambda: stage_msm(16, 13, 16),
         "msm20": lambda: stage_msm(20),
         "msm20w16": lambda: stage_msm(20, 16, 20),
+        "msm20w17": lambda: stage_msm(20, 17, 20),
         "g2": lambda: stage_adds_g2(args.n // 4),
         # chunk/window sweep at 2^20: bigger chunks amortize windows now
         # that the combine's working set is tiny.

@@ -40,6 +40,34 @@ def test_msm_g1_window_bits_invariance():
     )
 
 
+def test_msm_g1_signed_digits_match_unsigned():
+    """Signed-window recoding (negated points, halved buckets, unsigned top
+    window) must agree with the plain form — incl. digits that force carries
+    all the way up (scalar = r - 1 has high digits everywhere)."""
+    import jax.numpy as jnp
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    n = 24
+    pts = _rand_g1(n)
+    pts[7] = None
+    scalars = [RNG.randrange(R_SCALAR) for _ in range(n)]
+    scalars[0] = R_SCALAR - 1
+    scalars[1] = (1 << 254) - 1  # max carry propagation
+    xs, ys = cj.encode_g1_affine(pts)
+    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    sc = jnp.asarray(fj.encode_plain(scalars, fj.FR))
+    for w in (8, 13):
+        a = msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, sc, w, signed=True)
+        b = msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, sc, w, signed=False)
+        # fold both to the final point and compare
+        from circom_compat_tpu.ops.msm import _fold_windows_host
+
+        fa = _fold_windows_host(cj.decode_g1(a), rc.G1, w)
+        fb = _fold_windows_host(cj.decode_g1(b), rc.G1, w)
+        assert fa == fb == rc.G1.msm(pts, scalars)
+
+
 def test_msm_g2_matches_reference():
     n = 9
     pts = [rc.G2.mul(rc.g2_generator(), RNG.randrange(1, 1 << 62)) for _ in range(n)]

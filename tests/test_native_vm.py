@@ -26,7 +26,13 @@ def _calc(path, force_python=False):
 
 
 def test_native_is_used(test_vectors):
-    wc = _calc(test_vectors / "mycircuit_js" / "mycircuit.wasm")
+    import os
+
+    os.environ["CIRCOM_TPU_AOT"] = "0"  # force past the AOT preference
+    try:
+        wc = _calc(test_vectors / "mycircuit_js" / "mycircuit.wasm")
+    finally:
+        os.environ.pop("CIRCOM_TPU_AOT", None)
     assert type(wc.instance).__name__ == "NativeInstance"
 
 
