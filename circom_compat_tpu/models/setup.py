@@ -46,6 +46,20 @@ def _g2_section(points) -> G2Section:
     return G2Section(np.concatenate([xs, ys], axis=1).astype(np.uint16))
 
 
+def _batch_inv_mod(values: List[int], p: int) -> List[int]:
+    """Montgomery's batch-inversion trick: one modular inversion total."""
+    n = len(values)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(values):
+        prefix[i + 1] = prefix[i] * v % p
+    inv_total = pow(prefix[n], -1, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_total % p
+        inv_total = inv_total * values[i] % p
+    return out
+
+
 def qap_instance_map(
     matrix_a: List[List[Tuple[int, int]]],
     matrix_b: List[List[Tuple[int, int]]],
@@ -60,18 +74,21 @@ def qap_instance_map(
     domain_size = qap.domain_size_for(num_constraints, num_inputs)
     omega = fr_root_of_unity(domain_size)
 
-    # Lagrange evaluations L_r(t) = zt * w^r / (n * (t - w^r)).
+    # Lagrange evaluations L_r(t) = zt * w^r / (n * (t - w^r)), with the
+    # denominators inverted in ONE pass (Montgomery batch inversion) —
+    # per-element pow(d, -1, p) dominated setup wall-clock at 2^20 domains.
     zt = (pow(t, domain_size, R_SCALAR) - 1) % R_SCALAR
     n_inv = pow(domain_size, -1, R_SCALAR)
-    l_at_t: List[int] = []
-    w_pow = 1
-    for _ in range(domain_size):
-        denom = (t - w_pow) % R_SCALAR
-        if denom == 0:
-            # t landed on the domain (astronomically unlikely for random t)
-            raise ValueError("tau is in the evaluation domain; re-draw")
-        l_at_t.append(zt * w_pow % R_SCALAR * n_inv % R_SCALAR * pow(denom, -1, R_SCALAR) % R_SCALAR)
-        w_pow = w_pow * omega % R_SCALAR
+    w_pows: List[int] = [1] * domain_size
+    for i in range(1, domain_size):
+        w_pows[i] = w_pows[i - 1] * omega % R_SCALAR
+    denoms = [(t - w) % R_SCALAR for w in w_pows]
+    if any(d == 0 for d in denoms):
+        # t landed on the domain (astronomically unlikely for random t)
+        raise ValueError("tau is in the evaluation domain; re-draw")
+    inv_denoms = _batch_inv_mod(denoms, R_SCALAR)
+    zn = zt * n_inv % R_SCALAR
+    l_at_t = [zn * w % R_SCALAR * d % R_SCALAR for w, d in zip(w_pows, inv_denoms)]
 
     a = [0] * num_vars
     b = [0] * num_vars
@@ -152,6 +169,106 @@ def generate_parameters(
         b_g2_query=_g2_section(b_g2_query),
         h_query=_g1_section(h_query),
         l_query=_g1_section(l_query),
+        n_vars=num_vars,
+        n_public=num_inputs - 1,
+        domain_size=domain_size,
+    )
+
+
+def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.ndarray:
+    """qap.h_query_scalars on device: geometric powers host-side, the 2x
+    iFFT on the TPU NTT, odd coefficients as plain (N, 16) limbs."""
+    import jax.numpy as jnp
+
+    from ..ops import field_jax as fj
+    from ..ops import limbs as limb_codec
+    from ..ops import ntt
+
+    max_power = domain_size - 1
+    powers: List[int] = [0] * (2 * max_power + 1)
+    acc = delta_inverse % R_SCALAR
+    tm = t % R_SCALAR
+    for i in range(len(powers)):
+        powers[i] = acc
+        acc = acc * tm % R_SCALAR
+    size = 1
+    while size < len(powers):
+        size <<= 1
+    powers += [0] * (size - len(powers))
+    # encode straight to Montgomery limbs (v*R mod r)
+    mont = [(v << 256) % R_SCALAR for v in powers]
+    enc = limb_codec.ints_to_limbs(mont, dtype=np.uint32)
+    plan = ntt.get_plan(size)
+    coeffs = ntt.ifft(plan, jnp.asarray(enc))
+    plain = fj.from_mont_impl(fj.FR, coeffs)
+    return np.asarray(plain)[1::2]
+
+
+def generate_parameters_from_matrices(
+    matrix_a: List[List[Tuple[int, int]]],
+    matrix_b: List[List[Tuple[int, int]]],
+    matrix_c: List[List[Tuple[int, int]]],
+    num_inputs: int,
+    num_vars: int,
+    alpha: int,
+    beta: int,
+    gamma: int,
+    delta: int,
+    t: int,
+) -> ProvingKey:
+    """Device-accelerated setup for real circuit sizes: the ~5*n_vars fixed-
+    base generator multiplications run as windowed gather + Pallas mixed-add
+    folds on the TPU (ops/fixed_base.py), and the H-query iFFT uses the
+    device NTT. Bit-compatible with generate_parameters (same toxic waste
+    -> same key); parity-tested in tests/test_setup.py."""
+    from ..ops import fixed_base as fb
+
+    num_constraints = len(matrix_a)
+    domain_size = qap.domain_size_for(num_constraints, num_inputs)
+
+    a_t, b_t, c_t, _zt = qap_instance_map(
+        matrix_a, matrix_b, matrix_c, num_inputs, num_vars, t
+    )
+    gamma_inv = pow(gamma, -1, R_SCALAR)
+    delta_inv = pow(delta, -1, R_SCALAR)
+    combined = [
+        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R_SCALAR for i in range(num_vars)
+    ]
+
+    def g1sec(scalars) -> G1Section:
+        xs, ys = fb.fixed_base_points(list(scalars))
+        return G1Section(np.stack([xs, ys], axis=1).astype(np.uint16))
+
+    gamma_abc_sec = g1sec([combined[i] * gamma_inv % R_SCALAR for i in range(num_inputs)])
+    l_query = g1sec([combined[i] * delta_inv % R_SCALAR for i in range(num_inputs, num_vars)])
+    a_query = g1sec(a_t)
+    b_g1_query = g1sec(b_t)
+    xs2, ys2 = fb.fixed_base_points(b_t, g2=True)
+    b_g2_query = G2Section(np.concatenate([xs2, ys2], axis=1).astype(np.uint16))
+
+    h_limbs = _h_scalar_limbs_device(domain_size, t, delta_inv)
+    hx, hy = fb.fixed_base_points_from_limbs(h_limbs)
+    h_query = G1Section(np.stack([hx, hy], axis=1).astype(np.uint16))
+
+    # tiny host pieces
+    g1_ladder = rc.FixedBaseLadder(rc.G1, rc.g1_generator())
+    g2_ladder = rc.FixedBaseLadder(rc.G2, rc.g2_generator())
+    vk = VerifyingKey(
+        alpha_g1=g1_ladder.mul(alpha),
+        beta_g2=g2_ladder.mul(beta),
+        gamma_g2=g2_ladder.mul(gamma),
+        delta_g2=g2_ladder.mul(delta),
+        gamma_abc_g1=gamma_abc_sec.points,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=g1_ladder.mul(beta),
+        delta_g1=g1_ladder.mul(delta),
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
         n_vars=num_vars,
         n_public=num_inputs - 1,
         domain_size=domain_size,

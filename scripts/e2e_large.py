@@ -1,0 +1,163 @@
+"""Large-scale end-to-end prove: synthetic 2^K-constraint circuit on TPU.
+
+The BASELINE north star is a 2^20-constraint Groth16 prove on TPU vs
+arkworks-CPU. The reference's complex-circuit fixtures stop at 10^4 (the
+larger zkeys are stripped from the mirror), so this script synthesizes the
+same squaring-chain circuit shape (reference:
+test-vectors/complex-circuit/complex-circuit.circom.template) directly as
+R1CS, runs the device-accelerated trusted setup (ops/fixed_base.py), and
+measures the steady-state prove.
+
+  python -u scripts/e2e_large.py --log-domain 20
+
+Constraints = 2^K - 2 so the FFT domain is exactly 2^K. The key is cached
+as a real snarkjs-format .zkey next to .cache/ (one-time cost); proofs are
+verified with the host pairing before timing.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from circom_compat_tpu.constants import R_SCALAR
+
+CACHE = pathlib.Path("/root/repo/.cache")
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def build_matrices(n_constraints: int, n_b: int):
+    """Squaring chain: wires [1, c, a, b_0..b_{n_b-1}]; rows as
+    [(coeff, wire)] lists. Constraints: a*a=b0; b_{i-1}^2=b_i; repeats of
+    the last squaring as padding; b_last*1=c."""
+    A, B, C = [], [], []
+    A.append([(1, 2)]); B.append([(1, 2)]); C.append([(1, 3)])
+    for i in range(1, n_b):
+        A.append([(1, 2 + i)]); B.append([(1, 2 + i)]); C.append([(1, 3 + i)])
+    while len(A) < n_constraints - 1:
+        A.append([(1, 2 + n_b - 1)]); B.append([(1, 2 + n_b - 1)]); C.append([(1, 2 + n_b)])
+    A.append([(1, 2 + n_b)]); B.append([(1, 0)]); C.append([(1, 1)])
+    return A, B, C
+
+
+def witness_for(n_b: int, a: int):
+    b = [0] * n_b
+    acc = a * a % R_SCALAR
+    for i in range(n_b):
+        b[i] = acc
+        acc = acc * acc % R_SCALAR
+    # acc currently = b[n_b-1]^2; c = b[n_b-1]
+    return [1, b[n_b - 1], a] + b
+
+
+def get_key(log_domain: int):
+    from circom_compat_tpu import read_zkey
+    from circom_compat_tpu.circom.zkey_writer import write_zkey
+    from circom_compat_tpu.models.setup import generate_parameters_from_matrices
+
+    n_constraints = (1 << log_domain) - 2
+    n_b = n_constraints - 2  # so padding >= 0 and c-row fits
+    zkey_path = CACHE / f"synth-2^{log_domain}.zkey"
+    if zkey_path.exists():
+        log(f"[key] loading cached {zkey_path}")
+        t0 = time.time()
+        pk, matrices = read_zkey(zkey_path)
+        log(f"[key] loaded in {time.time()-t0:.1f}s (mmap)")
+        return pk, matrices, n_b
+
+    log(f"[key] device setup: {n_constraints} constraints, domain 2^{log_domain}")
+    A, B, C = build_matrices(n_constraints, n_b)
+    num_inputs = 2
+    num_vars = n_b + 3
+    t0 = time.time()
+    pk = generate_parameters_from_matrices(
+        A, B, C, num_inputs, num_vars,
+        alpha=0xA1FA, beta=0xBE7A, gamma=0x6A44A, delta=0xDE17A, t=0x7A57E,
+    )
+    log(f"[key] setup done in {time.time()-t0:.1f}s; writing zkey ...")
+    t0 = time.time()
+    CACHE.mkdir(exist_ok=True)
+    write_zkey(zkey_path, pk, A, B, n_constraints)
+    log(f"[key] wrote {zkey_path} ({zkey_path.stat().st_size/1e6:.0f} MB) in {time.time()-t0:.1f}s")
+    pk, matrices = read_zkey(zkey_path)
+    return pk, matrices, n_b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-domain", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skip-verify", action="store_true")
+    args = ap.parse_args()
+
+    from circom_compat_tpu.models import Groth16
+    from circom_compat_tpu.models import groth16_jax as gj
+    from circom_compat_tpu.ops import field_jax as fj
+    import jax.numpy as jnp
+
+    log(f"backend={jax.default_backend()}")
+    pk, matrices, n_b = get_key(args.log_domain)
+
+    log("[witness] computing squaring chain ...")
+    t0 = time.time()
+    assignment = witness_for(n_b, a=3)
+    log(f"[witness] {len(assignment)} wires in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    dpk = gj.DeviceProvingKey.build(pk, matrices, matrices.num_constraints)
+    log(f"[key] device staging in {time.time()-t0:.1f}s")
+
+    core = gj.get_prove_core(dpk)
+    asg_plain = jnp.asarray(fj.encode_plain([a % R_SCALAR for a in assignment]))
+    log("[prove] compiling + first run ...")
+    t0 = time.time()
+    out = core(asg_plain)
+    _ = [np.asarray(c).sum() for c in jax.tree_util.tree_leaves(out)]
+    log(f"[prove] first call {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = core(asg_plain)
+        _ = [np.asarray(c).sum() for c in jax.tree_util.tree_leaves(out)]
+        times.append(time.time() - t0)
+    best = min(times)
+    n = 1 << args.log_domain
+    log(f"RESULT e2e_prove_core_2^{args.log_domain}: {best:.2f} s steady-state "
+        f"({n/best/1e3:.0f} k constraints/s)")
+
+    if not args.skip_verify:
+        log("[verify] assembling + verifying proof ...")
+        r, s = 0x1234, 0x5678
+        proof = gj.assemble_proof(
+            dpk, r, s, *out, gj.default_window_bits(max(dpk.n_vars, dpk.domain_size))
+        )
+        pvk = Groth16.process_vk(pk.vk)
+        ok = Groth16.verify_with_processed_vk(
+            pvk, assignment[1 : matrices.num_instance_variables], proof
+        )
+        log(f"RESULT proof_verified: {ok}")
+        assert ok
+
+    print(json.dumps({
+        "metric": f"e2e_prove_core_2^{args.log_domain}_steady",
+        "value": round(best, 3),
+        "unit": "s",
+    }))
+
+
+if __name__ == "__main__":
+    main()

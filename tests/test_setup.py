@@ -42,6 +42,29 @@ def test_setup_wrong_input_fails(circuit, params):
     assert not Groth16.verify_proof(params.vk, proof, [35])
 
 
+def test_device_setup_matches_host_setup(circuit, params):
+    """generate_parameters_from_matrices (device fixed-base + device H-query
+    iFFT) must produce the bit-identical key for the same toxic waste."""
+    import numpy as np
+
+    from circom_compat_tpu.models.setup import generate_parameters_from_matrices
+
+    ma, mb, mc = circuit.to_matrices()
+    dev = generate_parameters_from_matrices(
+        ma, mb, mc,
+        circuit.r1cs.num_inputs, circuit.r1cs.num_variables,
+        alpha=0xA1FA, beta=0xBE7A, gamma=0x6A44A, delta=0xDE17A, t=0x7A0,
+    )
+    for name in ("a_query", "b_g1_query", "b_g2_query", "l_query", "h_query"):
+        assert np.array_equal(
+            getattr(dev, name).limbs, getattr(params, name).limbs
+        ), name
+    assert dev.vk.gamma_abc_g1 == params.vk.gamma_abc_g1
+    assert dev.vk.alpha_g1 == params.vk.alpha_g1
+    assert dev.delta_g1 == params.delta_g1
+    assert dev.domain_size == params.domain_size
+
+
 def test_setup_key_is_consistent_with_zkey_layout(params):
     # Sections expose the same container types the zkey parser yields.
     assert len(params.a_query) == params.n_vars
