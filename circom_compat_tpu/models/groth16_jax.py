@@ -154,6 +154,29 @@ def _witness_map_mont(dpk: DeviceProvingKey, asg_mont: jnp.ndarray) -> jnp.ndarr
     )
 
 
+def _device_arrays(dpk: DeviceProvingKey) -> dict:
+    """All large device buffers of the prove core as ONE pytree, passed as
+    jit ARGUMENTS. Closure-capturing them embeds ~GBs of literals in the
+    HLO at 2^20 scale, which breaks the axon remote-compile transport (and
+    bloats any compile); as arguments they ship as device buffers."""
+    if "arrays" not in dpk._cache:
+        plan = ntt.get_plan(dpk.domain_size)
+        dpk._cache["arrays"] = {
+            "a_rows": dpk.a_rows, "a_cols": dpk.a_cols, "a_vals": dpk.a_vals,
+            "b_rows": dpk.b_rows, "b_cols": dpk.b_cols, "b_vals": dpk.b_vals,
+            "g1_x": dpk.g1_stack_x, "g1_y": dpk.g1_stack_y,
+            "g2_x": dpk.b_g2_query[0], "g2_y": dpk.b_g2_query[1],
+            "ntt": {
+                "tw_fwd": jnp.asarray(plan.tw_fwd),
+                "tw_inv": jnp.asarray(plan.tw_inv),
+                "coset": jnp.asarray(plan.coset),
+                "bitrev": jnp.asarray(plan.bitrev),
+                "n_inv": jnp.asarray(plan.n_inv),
+            },
+        }
+    return dpk._cache["arrays"]
+
+
 def _scalar_stack(dpk: DeviceProvingKey, asg_plain: jnp.ndarray, h_plain: jnp.ndarray):
     """(4, N_max, 16) scalars for [a, b1, l, h]; padding rows are zero."""
     n_max = dpk.g1_stack_x.shape[1]
@@ -173,24 +196,70 @@ def _scalar_stack(dpk: DeviceProvingKey, asg_plain: jnp.ndarray, h_plain: jnp.nd
     )
 
 
-def _prove_core(dpk: DeviceProvingKey, window_bits: int):
-    """assignment (plain limbs) -> (g1 window sums (4, W, pt), g2 (W, pt))."""
+class _TracedNTTPlan:
+    """NTTPlan look-alike whose tables are traced arrays (jit arguments)
+    while n/log_n stay static — drop-in for ntt's *_impl functions."""
 
-    def core(asg_plain):
+    def __init__(self, n: int, tables: dict):
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        self.tw_fwd = tables["tw_fwd"]
+        self.tw_inv = tables["tw_inv"]
+        self.coset = tables["coset"]
+        self.bitrev = tables["bitrev"]
+        self.n_inv = tables["n_inv"]
+
+
+def _prove_core(dpk: DeviceProvingKey, window_bits: int):
+    """(arrays, assignment plain limbs) -> (g1 window sums (4, W, pt), g2 (W, pt)).
+
+    `arrays` is the _device_arrays pytree: every large buffer is a traced
+    ARGUMENT so the compiled HLO contains no GB-scale literals (critical
+    for 2^20 keys and the axon remote-compile transport). Only small
+    static metadata (sizes, window bits) is baked into the graph."""
+    num_constraints = dpk.num_constraints
+    num_inputs = dpk.num_inputs
+    domain_size = dpk.domain_size
+    g1_lengths = dpk.g1_lengths
+    aux_len = dpk.aux_len
+
+    def core(arrays, asg_plain):
+        plan_t = _TracedNTTPlan(domain_size, arrays["ntt"])
         asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
-        h_plain = fj.from_mont_impl(fj.FR, _witness_map_mont(dpk, asg_mont))
-        sc = _scalar_stack(dpk, asg_plain, h_plain)
+        h_mont = ntt.witness_map_impl(
+            plan_t,
+            arrays["a_rows"], arrays["a_cols"], arrays["a_vals"],
+            arrays["b_rows"], arrays["b_cols"], arrays["b_vals"],
+            asg_mont, num_constraints, num_inputs,
+        )
+        h_plain = fj.from_mont_impl(fj.FR, h_mont)
+
+        n_max = arrays["g1_x"].shape[1]
+
+        def fit(sc, true_len):
+            sc = sc[:true_len]
+            return jnp.pad(sc, ((0, n_max - sc.shape[0]), (0, 0)))
+
+        la, lb1, ll, lh = g1_lengths
+        sc = jnp.stack(
+            [
+                fit(asg_plain, la),
+                fit(asg_plain, lb1),
+                fit(asg_plain[num_inputs : num_inputs + aux_len], ll),
+                fit(h_plain, lh),
+            ]
+        )
 
         def g1_one(args):
             xs, ys, s = args
             jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, xs, ys)
             return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
 
-        g1_sums = jax.lax.map(g1_one, (dpk.g1_stack_x, dpk.g1_stack_y, sc))
+        g1_sums = jax.lax.map(g1_one, (arrays["g1_x"], arrays["g1_y"], sc))
 
-        jac2 = cj.affine_to_jacobian(cj.FQ2_ADAPTER, *dpk.b_g2_query)
+        jac2 = cj.affine_to_jacobian(cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"])
         g2_sums = msm_ops.window_sums_impl(
-            cj.FQ2_ADAPTER, jac2, asg_plain[: dpk.b_g2_query[0].shape[0]], window_bits
+            cj.FQ2_ADAPTER, jac2, asg_plain[: arrays["g2_x"].shape[0]], window_bits
         )
         return g1_sums, g2_sums
 
@@ -211,11 +280,15 @@ def default_window_bits(n: Optional[int] = None) -> int:
 
 
 def get_prove_core(dpk: DeviceProvingKey, window_bits: Optional[int] = None):
+    """Returns run(asg_plain) -> (g1_sums, g2_sums); the underlying jitted
+    function takes the key arrays as arguments (see _prove_core)."""
     if window_bits is None:
         window_bits = default_window_bits(max(dpk.n_vars, dpk.domain_size))
     key = ("core", window_bits)
     if key not in dpk._cache:
-        dpk._cache[key] = jax.jit(_prove_core(dpk, window_bits))
+        jitted = jax.jit(_prove_core(dpk, window_bits))
+        arrays = _device_arrays(dpk)
+        dpk._cache[key] = lambda asg_plain: jitted(arrays, asg_plain)
     return dpk._cache[key]
 
 

@@ -178,13 +178,16 @@ def witness_map(
 
     c = fj.mont_mul(FR, a, b)
 
-    a = coset_shift(plan, ifft(plan, a))
-    b = coset_shift(plan, ifft(plan, b))
-    a = fft(plan, a)
-    b = fft(plan, b)
+    # Call the un-jitted impls: `plan` may be a _TracedNTTPlan whose tables
+    # are tracers (groth16_jax passes key arrays as jit arguments), which
+    # must not hit the jitted wrappers' static plan argument.
+    a = coset_shift_impl(plan, ifft_impl(plan, a))
+    b = coset_shift_impl(plan, ifft_impl(plan, b))
+    a = fft_impl(plan, a)
+    b = fft_impl(plan, b)
     ab = fj.mont_mul(FR, a, b)
 
-    c = fft(plan, coset_shift(plan, ifft(plan, c)))
+    c = fft_impl(plan, coset_shift_impl(plan, ifft_impl(plan, c)))
 
     return fj.sub(FR, ab, c)
 

@@ -96,6 +96,29 @@ def stage_adds_g2(n):
     log(f"RESULT g2_add_pallas_lm: {n * CHAIN / t / 1e6:.3f} M adds/s  ({t*1e3:.1f} ms/call)")
 
 
+def stage_g2msm(n=10240, window_bits=10):
+    """G2 window sums at B2-query scale (the 10^4 prove's 1.25 s stage
+    before the fused combine)."""
+    import random
+
+    from circom_compat_tpu.refmath import curve as rc
+
+    rng = random.Random(9)
+    seed = [rc.G2.mul(rc.g2_generator(), rng.randrange(1, 1 << 64)) for _ in range(64)]
+    pts = (seed * (n // 64 + 1))[:n]
+    xs, ys = cj.encode_g2_affine(pts)
+    sc = jnp.asarray(fj.encode_plain(
+        [rng.randrange(1, fj.FR.modulus) for _ in range(n)], fj.FR))
+    jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    log(f"[g2msm] compiling G2 MSM n={n} w={window_bits} ...")
+
+    def run():
+        return msm_ops.msm_window_sums(cj.FQ2_ADAPTER, jac, sc, window_bits)
+
+    t = time_steady(run)
+    log(f"RESULT g2_msm_pallas_n{n}_w{window_bits}: {n / t / 1e3:.2f} k points/s  ({t:.3f} s)")
+
+
 def msm_points(n, rng_seed=1):
     import random
 
@@ -200,6 +223,7 @@ def main():
                           stage_msm(20, 16, 20)),
         "check": stage_check,
         "e2e": stage_e2e,
+        "g2msm": stage_g2msm,
     }
     for s in stages:
         dispatch[s]()
