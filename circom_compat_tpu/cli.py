@@ -210,6 +210,37 @@ def cmd_verify_chain(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_verify_onchain(args) -> int:
+    """Run the compiled Solidity Groth16 verifier on the in-process EVM
+    (evm.py) against a proof — the reference's tests/solidity.rs flow
+    without an external node."""
+    from . import ethereum as eth
+    from .evm import EVMError, check_proof_onchain, load_verifier
+
+    d = json.load(open(args.vkey))
+    if "IC" in d:
+        vk = _vk_from_json(d)
+    else:
+        from .circom.zkey import read_zkey
+
+        vk = read_zkey(args.vkey)[0].vk
+    public = [int(v) for v in json.load(open(args.public))]
+    proof = _proof_from_json(json.load(open(args.proof)))
+    vm = load_verifier(args.artifact)
+    try:
+        ok = check_proof_onchain(
+            vm,
+            eth.Inputs.from_fr(public),
+            eth.Proof.from_ark(proof),
+            eth.VerifyingKey.from_ark(vk),
+        )
+    except EVMError as exc:
+        print(f"EVM {exc}")
+        return 1
+    print("OK! (on-chain)" if ok else "INVALID proof (on-chain)")
+    return 0 if ok else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="circom_compat_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -256,6 +287,19 @@ def main(argv=None) -> int:
     vc = sub.add_parser("verify-chain", help="check the zkey contribution chain")
     vc.add_argument("zkey")
     vc.set_defaults(fn=cmd_verify_chain)
+
+    vo = sub.add_parser(
+        "verify-onchain", help="verify via the Solidity contract on the built-in EVM"
+    )
+    vo.add_argument("vkey", help="verification_key.json or .zkey")
+    vo.add_argument("public")
+    vo.add_argument("proof")
+    vo.add_argument(
+        "--artifact",
+        default="/root/reference/tests/verifier_artifact.json",
+        help="solc/hardhat artifact with deployedBytecode",
+    )
+    vo.set_defaults(fn=cmd_verify_onchain)
 
     args = ap.parse_args(argv)
     return args.fn(args)
