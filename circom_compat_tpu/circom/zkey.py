@@ -433,7 +433,7 @@ def _mont_strip_once_r(values_u16: np.ndarray) -> np.ndarray:
     """(n,16) uint16 raw Fr values (v*R^2) -> (n,16) uint16 (v*R mod r)."""
     from ..constants import NPRIME_R
 
-    return limb_codec.mont_strip_np(
+    return limb_codec.mont_strip(
         np.ascontiguousarray(values_u16), R_SCALAR, NPRIME_R
     )
 

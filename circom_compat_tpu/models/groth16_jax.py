@@ -38,7 +38,7 @@ def _sorted_coo(rows, cols, vals_mont_u16):
     order = np.argsort(np.asarray(rows), kind="stable")
     r = np.asarray(rows, np.int32)[order]
     c = np.asarray(cols, np.int32)[order]
-    v = np.asarray(vals_mont_u16, np.uint16)[order].astype(np.uint32)
+    v = np.asarray(vals_mont_u16, np.uint16)[order]  # widened on device
     return jnp.asarray(r), jnp.asarray(c), jnp.asarray(v)
 
 
@@ -67,7 +67,9 @@ class DeviceProvingKey:
     b_cols: jnp.ndarray
     b_vals: jnp.ndarray
     # G1 queries stacked [a, b1, l, h], padded to one length:
-    # (4, N_max, 16) x and y (affine Montgomery; all-zero row = infinity)
+    # (4, N_max, 16) x and y (affine Montgomery; all-zero row = infinity).
+    # Query/value limb arrays are staged in uint16 (zkey wire width) and
+    # widened to the kernels' uint32 on device inside the prove core.
     g1_stack_x: jnp.ndarray
     g1_stack_y: jnp.ndarray
     g1_lengths: tuple  # true lengths (n_vars, n_vars, aux_len, h_len)
@@ -82,19 +84,27 @@ class DeviceProvingKey:
         if num_inputs is None:
             num_inputs = matrices.num_instance_variables
 
-        def g1_limbs(section):
-            return np.asarray(section.limbs, np.uint16).astype(np.uint32)
-
-        a_l = g1_limbs(pk.a_query)
-        b1_l = g1_limbs(pk.b_g1_query)
-        l_l = g1_limbs(pk.l_query)
-        h_l = g1_limbs(pk.h_query)
-        lengths = (a_l.shape[0], b1_l.shape[0], l_l.shape[0], h_l.shape[0])
+        # Fill the final stacked layout in ONE widening pass per coordinate,
+        # straight from the (possibly mmap-backed) uint16 section views — the
+        # astype+stack+pad chain this replaces copied the ~1 GB of 2^20-scale
+        # query points five times over.
+        # Stage in uint16 — the zkey's own limb width. Widening to the
+        # kernels' uint32 happens ON DEVICE at the top of the prove core:
+        # halves the host->device bytes (which ride a ~1 GB/s tunnel under
+        # axon) and avoids host-side cast passes over GB-scale sections.
+        sections = (pk.a_query, pk.b_g1_query, pk.l_query, pk.h_query)
+        lengths = tuple(len(s) for s in sections)
         n_max = max(lengths)
-        xs = np.stack([_pad_rows_np(q[:, 0], n_max) for q in (a_l, b1_l, l_l, h_l)])
-        ys = np.stack([_pad_rows_np(q[:, 1], n_max) for q in (a_l, b1_l, l_l, h_l)])
+        xs = np.zeros((4, n_max, 16), np.uint16)
+        ys = np.zeros((4, n_max, 16), np.uint16)
+        for k, sec in enumerate(sections):
+            n = len(sec)
+            xs[k, :n] = sec.limbs[:, 0]
+            ys[k, :n] = sec.limbs[:, 1]
 
-        g2_l = np.asarray(pk.b_g2_query.limbs, np.uint16).astype(np.uint32)
+        g2_src = pk.b_g2_query.limbs  # (n, 4, 16) uint16
+        g2_x = np.ascontiguousarray(g2_src[:, 0:2])
+        g2_y = np.ascontiguousarray(g2_src[:, 2:4])
 
         ar, ac, av = _sorted_coo(matrices.a_rows, matrices.a_cols, matrices.a_values_mont)
         br, bc, bv = _sorted_coo(matrices.b_rows, matrices.b_cols, matrices.b_values_mont)
@@ -103,14 +113,14 @@ class DeviceProvingKey:
             num_inputs=num_inputs,
             num_constraints=num_constraints,
             domain_size=pk.domain_size,
-            n_vars=a_l.shape[0],
-            aux_len=l_l.shape[0],
+            n_vars=lengths[0],
+            aux_len=lengths[2],
             a_rows=ar, a_cols=ac, a_vals=av,
             b_rows=br, b_cols=bc, b_vals=bv,
             g1_stack_x=jnp.asarray(xs),
             g1_stack_y=jnp.asarray(ys),
             g1_lengths=lengths,
-            b_g2_query=(jnp.asarray(g2_l[:, 0:2]), jnp.asarray(g2_l[:, 2:4])),
+            b_g2_query=(jnp.asarray(g2_x), jnp.asarray(g2_y)),
         )
 
     @staticmethod
@@ -252,12 +262,18 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
 
         def g1_one(args):
             xs, ys, s = args
-            jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, xs, ys)
+            jac = cj.affine_to_jacobian(
+                cj.FQ_ADAPTER, xs.astype(jnp.uint32), ys.astype(jnp.uint32)
+            )
             return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
 
         g1_sums = jax.lax.map(g1_one, (arrays["g1_x"], arrays["g1_y"], sc))
 
-        jac2 = cj.affine_to_jacobian(cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"])
+        jac2 = cj.affine_to_jacobian(
+            cj.FQ2_ADAPTER,
+            arrays["g2_x"].astype(jnp.uint32),
+            arrays["g2_y"].astype(jnp.uint32),
+        )
         g2_sums = msm_ops.window_sums_impl(
             cj.FQ2_ADAPTER, jac2, asg_plain[: arrays["g2_x"].shape[0]], window_bits
         )

@@ -45,10 +45,22 @@ class FieldAdapter:
     one: np.ndarray  # Montgomery one, coord-shaped
     zero: np.ndarray
     double: Callable  # x -> 2x (cheaper than mul by 2)
+    # x -> 3b*x with b the curve constant of the group this field hosts
+    # (G1/Fq: b=3 so 3b=9, an add chain; G2/Fq2: 3b' = 9/(9+u), a constant
+    # mul). Used by the complete projective group law (proj_add/proj_madd).
+    mul_b3: Callable = None
 
 
 def _fq_double(a):
     return fj.add(fj.FQ, a, a)
+
+
+def _fq_mul9(a):
+    """9x = 8x + x via three doublings — 4 field adds, no multiply."""
+    x2 = fj.add(fj.FQ, a, a)
+    x4 = fj.add(fj.FQ, x2, x2)
+    x8 = fj.add(fj.FQ, x4, x4)
+    return fj.add(fj.FQ, x8, a)
 
 
 FQ_ADAPTER = FieldAdapter(
@@ -64,6 +76,7 @@ FQ_ADAPTER = FieldAdapter(
     one=fj.FQ.one_mont,
     zero=fj.FQ.zero,
     double=_fq_double,
+    mul_b3=_fq_mul9,
 )
 
 
@@ -125,6 +138,27 @@ def _fq2_double(a):
     return _fq2_add(a, a)
 
 
+def _b3_g2_mont() -> np.ndarray:
+    """3*b' for the G2 twist y^2 = x^3 + 3/(9+u): 9/(9+u) = (81 - 9u)/82,
+    Montgomery-encoded (2, 16) limbs."""
+    from ..constants import Q as _Q
+    from . import limbs as _lc
+
+    inv82 = pow(82, -1, _Q)
+    c0 = 81 * inv82 % _Q
+    c1 = (-9 * inv82) % _Q
+    return np.stack(
+        [_lc.int_to_limbs((c0 << 256) % _Q), _lc.int_to_limbs((c1 << 256) % _Q)]
+    )
+
+
+B3_G2_MONT = _b3_g2_mont()
+
+
+def _fq2_mul_b3(a):
+    return _fq2_mul(a, jnp.asarray(B3_G2_MONT))
+
+
 FQ2_ADAPTER = FieldAdapter(
     name="fq2",
     add=_fq2_add,
@@ -138,6 +172,7 @@ FQ2_ADAPTER = FieldAdapter(
     one=np.stack([fj.FQ.one_mont, fj.FQ.zero]),
     zero=np.stack([fj.FQ.zero, fj.FQ.zero]),
     double=_fq2_double,
+    mul_b3=_fq2_mul_b3,
 )
 
 
@@ -293,6 +328,141 @@ def madd(F: FieldAdapter, p: Point, q: Point) -> Point:
 
 def neg(F: FieldAdapter, p: Point) -> Point:
     return (p[0], F.neg(p[1]), p[2])
+
+
+# ---------------------------------------------------------------------------
+# Complete homogeneous-projective group law (Renes-Costello-Batina 2015,
+# algorithms 7/8 specialized to a = 0). Identity = (0, 1, 0).
+#
+# One straight-line formula covers EVERY case — doubling, identity operands,
+# P + (-P) — with no comparisons or selects, unlike the branch-free Jacobian
+# law above, and with no field squarings: 12M + 2 mul_b3 (add: alg 7) /
+# 11M + 2 mul_b3 + one q-at-infinity select (madd: alg 8) vs the fused
+# Jacobian add+double's 23 muls. This is the MSM scan combine (ops/msm.py);
+# validated against refmath/curve.py on identity/double/inverse/projective-
+# scaled inputs (tests/test_curve_jax.py).
+# ---------------------------------------------------------------------------
+
+
+def proj_identity_const(F: FieldAdapter):
+    """(0, 1, 0), Montgomery-encoded numpy (for scan identities)."""
+    return (
+        np.asarray(F.zero, np.uint32),
+        np.asarray(F.one, np.uint32),
+        np.asarray(F.zero, np.uint32),
+    )
+
+
+def proj_infinity(F: FieldAdapter, batch_shape=()):
+    shape = batch_shape + np.asarray(F.one).shape
+    one = jnp.broadcast_to(jnp.asarray(F.one), shape).astype(jnp.uint32)
+    z = jnp.zeros(shape, jnp.uint32)
+    return (z, one, z)
+
+
+def affine_to_proj(F: FieldAdapter, x, y, inf_mask=None):
+    """Affine Montgomery coords -> homogeneous projective; all-zero (x, y)
+    rows (zkey infinity convention, reference: src/zkey.rs:340-360) map to
+    the RCB identity (0, 1, 0) — note Y must be 1, not 0."""
+    if inf_mask is None:
+        inf_mask = F.is_zero(x) & F.is_zero(y)
+    one = jnp.broadcast_to(jnp.asarray(F.one), x.shape).astype(jnp.uint32)
+    z = F.select(inf_mask, jnp.zeros_like(x), one)
+    y = F.select(inf_mask, one, y)
+    return (x, y, z)
+
+
+def proj_add(F: FieldAdapter, p: Point, q: Point) -> Point:
+    """P + Q, complete for all projective inputs (RCB alg 7, a = 0)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    Y3 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    Y3 = F.sub(Y3, F.add(t0, t2))
+    t0 = F.add(F.double(t0), t0)  # 3*X1*X2
+    t2 = F.mul_b3(t2)
+    Z3 = F.add(t1, t2)
+    t1 = F.sub(t1, t2)
+    Y3 = F.mul_b3(Y3)
+    X3 = F.sub(F.mul(t3, t1), F.mul(t4, Y3))
+    Y3 = F.add(F.mul(t1, Z3), F.mul(Y3, t0))
+    Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+    return (X3, Y3, Z3)
+
+
+def proj_madd(F: FieldAdapter, p: Point, q: Point) -> Point:
+    """P + Q with Q affine-encoded (Z2 == one, or identity): RCB alg 8
+    (complete for any projective P) plus one select for Q at infinity."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t3 = F.mul(F.add(X2, Y2), F.add(X1, Y1))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.add(F.mul(Y2, Z1), Y1)
+    Y3 = F.add(F.mul(X2, Z1), X1)
+    t0 = F.add(F.double(t0), t0)  # 3*X1*X2
+    t2 = F.mul_b3(Z1)
+    Z3 = F.add(t1, t2)
+    t1 = F.sub(t1, t2)
+    Y3 = F.mul_b3(Y3)
+    X3 = F.sub(F.mul(t3, t1), F.mul(t4, Y3))
+    Y3 = F.add(F.mul(t1, Z3), F.mul(Y3, t0))
+    Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+    q_inf = F.is_zero(Z2)
+    return tuple(F.select(q_inf, a, b) for a, b in zip(p, (X3, Y3, Z3)))
+
+
+def decode_g1_proj(point: Point):
+    """Projective G1 device points -> canonical affine (x, y) ints or None.
+    Host-side exact math (final MSM outputs only)."""
+    from ..constants import Q
+    from . import limbs as limb_codec
+
+    X, Y, Z = [np.asarray(c).reshape(-1, 16) for c in point]
+    rinv = pow(1 << 256, -1, Q)
+    out = []
+    for xi, yi, zi in zip(X, Y, Z):
+        x = limb_codec.limbs_to_int(xi) * rinv % Q
+        y = limb_codec.limbs_to_int(yi) * rinv % Q
+        z = limb_codec.limbs_to_int(zi) * rinv % Q
+        if z == 0:
+            out.append(None)
+            continue
+        zinv = pow(z, -1, Q)
+        out.append((x * zinv % Q, y * zinv % Q))
+    return out
+
+
+def decode_g2_proj(point: Point):
+    from ..constants import Q
+    from . import limbs as limb_codec
+    from ..refmath import field as rf
+
+    X, Y, Z = [np.asarray(c).reshape(-1, 2, 16) for c in point]
+    rinv = pow(1 << 256, -1, Q)
+
+    def dec(c):
+        return (
+            limb_codec.limbs_to_int(c[0]) * rinv % Q,
+            limb_codec.limbs_to_int(c[1]) * rinv % Q,
+        )
+
+    out = []
+    for xi, yi, zi in zip(X, Y, Z):
+        x, y, z = dec(xi), dec(yi), dec(zi)
+        if z == (0, 0):
+            out.append(None)
+            continue
+        zinv = rf.fq2_inv(z)
+        out.append((rf.fq2_mul(x, zinv), rf.fq2_mul(y, zinv)))
+    return out
 
 
 def scalar_mul_const(F: FieldAdapter, p: Point, k: int) -> Point:

@@ -78,11 +78,27 @@ def limbs_to_bytes(limbs: np.ndarray) -> bytes:
     return np.ascontiguousarray(limbs.astype("<u2")).tobytes()
 
 
+def mont_strip(values: np.ndarray, p: int, nprime: int) -> np.ndarray:
+    """Montgomery strip dispatcher: native C++ (ops/native_field.py) when
+    buildable, else the numpy fallback below. Identical results."""
+    try:
+        from . import native_field
+
+        out = native_field.mont_strip(values, p)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return mont_strip_np(values, p, nprime)
+
+
 def mont_strip_np(values: np.ndarray, p: int, nprime: int) -> np.ndarray:
     """Vectorized Montgomery strip: (n, 16) uint16 limbs of v -> v*R^-1 mod p.
 
-    Pure-numpy uint64 reduction (16 iterations, lazy carries) — replaces
-    per-element Python bigint loops on multi-MB zkey coefficient sections.
+    Pure-numpy uint64 REDC over ONE preallocated (n, 33) work buffer with
+    offset indexing — no per-iteration allocation or concatenate copies.
+    Limb bound check: each work limb accumulates <=16 products < 2^32 plus
+    carries, staying < 2^37, far inside uint64.
     """
     mask = np.uint64(LIMB_MASK)
     shift = np.uint64(LIMB_BITS)
@@ -90,35 +106,31 @@ def mont_strip_np(values: np.ndarray, p: int, nprime: int) -> np.ndarray:
     pc_limbs = int_to_limbs((1 << 256) - p).astype(np.uint64)
     np_ = np.uint64(nprime)
 
-    t = values.astype(np.uint64)  # (n, 16); limbs stay < 2^40 throughout
-    n = t.shape[0]
-    zeros_col = np.zeros((n, 1), np.uint64)
-    for _ in range(NUM_LIMBS):
-        m = (t[:, 0] * np_) & mask
-        t = t + m[:, None] * p_limbs
-        carry = t[:, 0] >> shift  # low 16 bits are 0 by construction
-        t = np.concatenate([t[:, 1:], zeros_col], axis=1)
-        t[:, 0] += carry
+    n = values.shape[0]
+    t = np.zeros((n, 2 * NUM_LIMBS + 1), np.uint64)
+    t[:, :NUM_LIMBS] = values  # one-pass widen of the (possibly strided) input
+    for i in range(NUM_LIMBS):
+        m = (t[:, i] * np_) & mask
+        t[:, i : i + NUM_LIMBS] += m[:, None] * p_limbs
+        t[:, i + 1] += t[:, i] >> shift  # low 16 bits of limb i now zero
 
-    # Carry-normalize (values < 2p after reduction; a few passes suffice
-    # since limbs are < 2^40 -> <= 2^16 after two passes, then ripple).
-    def normalize(x):
-        while (x >> shift).any():
-            lo = x & mask
-            hi = x >> shift
-            x = lo
+    t = t[:, NUM_LIMBS:]  # (n, 17) result limbs (REDC divides by 2^256)
+
+    def normalize(x):  # in-place ripple; limbs < 2^37 resolve in ~3 passes
+        hi = x >> shift
+        while hi.any():
+            x &= mask
             x[:, 1:] += hi[:, :-1]
+            hi = x >> shift
         return x
 
-    t = normalize(t)
+    t = normalize(t)[:, :NUM_LIMBS]
     # conditional subtract p via the 2^256 - p trick in 17-limb space:
     # the sum overflows into the guard limb iff t >= p.
-    u17 = np.concatenate([t + pc_limbs, zeros_col], axis=1)
-    while (u17 >> shift).any():
-        lo = u17 & mask
-        hi = u17 >> shift
-        u17 = lo
-        u17[:, 1:] += hi[:, :-1]
-    ge = u17[:, 16] != 0
-    out = np.where(ge[:, None], u17[:, :16], t)
+    u17 = np.zeros((n, NUM_LIMBS + 1), np.uint64)
+    u17[:, :NUM_LIMBS] = t
+    u17[:, :NUM_LIMBS] += pc_limbs
+    u17 = normalize(u17)
+    ge = u17[:, NUM_LIMBS] != 0
+    out = np.where(ge[:, None], u17[:, :NUM_LIMBS], t)
     return out.astype(np.uint16)

@@ -145,6 +145,8 @@ def sparse_eval(
 ) -> jnp.ndarray:
     """Per-row sparse dot products sum(coeff * w[col]) mod r — the hot loop
     the reference runs under Rayon (reference: src/circom/qap.rs:37-44)."""
+    # values may arrive as uint16 (compact zkey-width staging) — widen here.
+    values_mont = values_mont.astype(jnp.uint32)
     prods = fj.mont_mul(FR, values_mont, assignment_mont[cols])
     zero = jnp.zeros(16, jnp.uint32)
     return segments.reduce_by_sorted_key(

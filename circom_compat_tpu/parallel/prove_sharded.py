@@ -119,7 +119,10 @@ def build_sharded_prover(
     def g1_body(xs, ys, sc):  # local shards (4, n_pad/D, 16)
         def one(args):
             x, y, s = args
-            jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, x, y)
+            # points ride the mesh in compact uint16; widen on-shard
+            jac = cj.affine_to_jacobian(
+                cj.FQ_ADAPTER, x.astype(jnp.uint32), y.astype(jnp.uint32)
+            )
             return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
 
         sums = jax.lax.map(one, (xs, ys, sc))  # (4, W, pt)
@@ -129,7 +132,9 @@ def build_sharded_prover(
         )
 
     def g2_body(xs, ys, sc):
-        jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, xs, ys)
+        jac = cj.affine_to_jacobian(
+            cj.FQ2_ADAPTER, xs.astype(jnp.uint32), ys.astype(jnp.uint32)
+        )
         sums = msm_ops.window_sums_impl(cj.FQ2_ADAPTER, jac, sc, window_bits)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)
         return segments.tree_fold(
