@@ -262,20 +262,20 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
 
         def g1_one(args):
             xs, ys, s = args
-            jac = cj.affine_to_jacobian(
+            pts = cj.affine_to_proj(
                 cj.FQ_ADAPTER, xs.astype(jnp.uint32), ys.astype(jnp.uint32)
             )
-            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
+            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, pts, s, window_bits)
 
         g1_sums = jax.lax.map(g1_one, (arrays["g1_x"], arrays["g1_y"], sc))
 
-        jac2 = cj.affine_to_jacobian(
+        pts2 = cj.affine_to_proj(
             cj.FQ2_ADAPTER,
             arrays["g2_x"].astype(jnp.uint32),
             arrays["g2_y"].astype(jnp.uint32),
         )
         g2_sums = msm_ops.window_sums_impl(
-            cj.FQ2_ADAPTER, jac2, asg_plain[: arrays["g2_x"].shape[0]], window_bits
+            cj.FQ2_ADAPTER, pts2, asg_plain[: arrays["g2_x"].shape[0]], window_bits
         )
         return g1_sums, g2_sums
 
@@ -313,14 +313,14 @@ def assemble_proof(dpk, r, s, g1_sums, g2_sums, window_bits):
     from ..refmath import curve as rc
     from .groth16 import Proof
 
-    g1d = cj.decode_g1(g1_sums)  # (4*W) flattened row-major
+    g1d = cj.decode_g1_proj(g1_sums)  # (4*W) flattened row-major
     w = g1_sums[0].shape[1]
     folds = [
         msm_ops._fold_windows_host(g1d[i * w : (i + 1) * w], rc.G1, window_bits)
         for i in range(4)
     ]
     g_a_msm, g_b1_msm, g_l, g_h = folds
-    g_b2_msm = msm_ops._fold_windows_host(cj.decode_g2(g2_sums), rc.G2, window_bits)
+    g_b2_msm = msm_ops._fold_windows_host(cj.decode_g2_proj(g2_sums), rc.G2, window_bits)
 
     pk = dpk.pk
     g1o, g2o = rc.G1, rc.G2

@@ -510,6 +510,9 @@ add_impl, double_impl, madd_impl = add, double, madd
 add = jax.jit(add_impl, static_argnums=0)
 double = jax.jit(double_impl, static_argnums=0)
 madd = jax.jit(madd_impl, static_argnums=0)
+proj_add_impl, proj_madd_impl = proj_add, proj_madd
+proj_add = jax.jit(proj_add_impl, static_argnums=0)
+proj_madd = jax.jit(proj_madd_impl, static_argnums=0)
 
 
 # ---------------------------------------------------------------------------

@@ -1,13 +1,21 @@
-"""Pallas-fused Jacobian point addition for BN254 G1/G2 (limb-major).
+"""Pallas-fused complete point addition for BN254 G1/G2 (limb-major).
 
 The XLA-composed group law (ops/curve_jax.py) spends its time shuttling
 ~hundreds of intermediate (N, 16) limb tensors through HBM: every field op
 around a fori_loop is a fusion barrier. This kernel runs the COMPLETE
-branch-free Jacobian addition (same formulas/selects as curve_jax.add_impl)
-inside one pallas_call — inputs are read from HBM once, all intermediate
-limb ops live in VMEM/registers, outputs are written once. This is the
-combine used by the MSM segmented scans, so it bounds MSM throughput
-(reference hot path: the 5 MSMs of ark-groth16's prover, SURVEY §3.4).
+Renes-Costello-Batina projective addition (curve_jax.proj_add_impl /
+proj_madd_impl) inside one pallas_call — inputs are read from HBM once,
+all intermediate limb ops live in VMEM/registers, outputs are written
+once. This is the combine used by the MSM segmented scans, so it bounds
+MSM throughput (reference hot path: the 5 MSMs of ark-groth16's prover,
+SURVEY §3.4).
+
+The RCB formulas replaced the earlier branch-free Jacobian add here: one
+straight-line formula with NO doubling branch and NO equality masks costs
+12M+2·mul_b3 (add) / 11M+2·mul_b3 (madd) against the fused Jacobian
+add+double's ~23 muls — a ~1.8x cut in kernel arithmetic, which is what
+the MSM scan is bound by (BASELINE.md). Points on this path are
+homogeneous projective, identity (0, 1, 0).
 
 Layout: the caller-facing combine accepts the pipeline's limb-minor point
 pytrees ((..., 16) Fq / (..., 2, 16) Fq2 coords) and transposes to
@@ -18,12 +26,14 @@ shifts are cheap sublane moves. The earlier limb-minor kernel filled only
 BASELINE.md); the transposes cost two extra HBM round-trips per operand,
 negligible against the ~27k int32 multiplies each fused add performs.
 
-Pallas forbids captured array constants, so the Fq modulus limbs enter as
-a (16, 2) kernel input (column 0 = p, column 1 = 2^256 - p).
+Pallas forbids captured array constants, so the Fq modulus limbs and the
+G2 twist constant enter as a (16, 8) kernel input (see FQ_CONSTS_LM).
 
-Numerics are identical to curve_jax (same group-law code path over the
-limb-major field ops in ops/field_lm.py); parity tests in
-tests/test_curve_pallas.py.
+The kernels run the same group-law code path as curve_jax over the
+limb-major field ops in ops/field_lm.py, but with LAZY REDUCTION: field
+values inside (and between) kernels live in [0, 2p) and only the host
+decode canonicalizes. Parity tests in tests/test_curve_pallas.py compare
+decoded points, which is the only observable.
 """
 
 from __future__ import annotations
@@ -40,21 +50,68 @@ from . import curve_jax as cj
 from . import field_jax as fj
 from . import field_lm as flm
 
-# (16, 3): column 0 = p limbs, column 1 = (2^256 - p) limbs, column 2 = R mod p
-# (Montgomery one, for the identity point inside the tile-scan kernel).
-FQ_CONSTS_LM = np.stack([fj.FQ.p_limbs, fj.FQ.pc_limbs, fj.FQ.one_mont], axis=1)
+# (16, 8) kernel constant table (Pallas forbids captured array constants):
+#   col 0 = p limbs, col 1 = (2^256 - p), col 2 = R mod p (Montgomery one),
+#   col 3/4 = 3b' for the G2 twist (c0, c1, Montgomery), col 5 = c0 + c1
+#   (precomputed Karatsuba sum for the constant Fq2 multiply in mul_b3),
+#   col 6 = 2p, col 7 = 2^256 - 2p (lazy-reduction additions, field_lm).
+def _extra_consts():
+    from ..constants import Q as _Q
+    from . import limbs as _lc
+
+    c0 = cj.B3_G2_MONT[0]
+    c1 = cj.B3_G2_MONT[1]
+    s_int = (_lc.limbs_to_int(c0) + _lc.limbs_to_int(c1)) % _Q
+    return (
+        c0, c1, _lc.int_to_limbs(s_int),
+        _lc.int_to_limbs(2 * _Q),
+        _lc.int_to_limbs((1 << 256) - 2 * _Q),
+    )
+
+
+_B3C0, _B3C1, _B3SUM, _P2, _P2C = _extra_consts()
+FQ_CONSTS_LM = np.stack(
+    [fj.FQ.p_limbs, fj.FQ.pc_limbs, fj.FQ.one_mont, _B3C0, _B3C1, _B3SUM,
+     _P2, _P2C],
+    axis=1,
+)
 
 LANE_BLOCK = 512  # lanes per kernel invocation (4 full VPU lane groups)
 
 
-def _lm_adapter(p_col, pc_col, is_fq2: bool) -> cj.FieldAdapter:
-    """FieldAdapter over limb-major blocks bound to traced modulus columns."""
+def _lm_adapter(
+    p_col, pc_col, is_fq2: bool, b3=None, p2=None
+) -> cj.FieldAdapter:
+    """FieldAdapter over limb-major blocks bound to traced modulus columns.
+
+    b3: for Fq2, the (c0, c1, c0+c1) columns of the G2 twist constant 3b'
+    (the RCB formulas' mul_b3). For Fq, 3b = 9 so mul_b3 is an add chain.
+
+    p2: the (2p, 2^256 - 2p) columns. When given, the whole adapter runs
+    LAZY REDUCTION: every value stays in [0, 2p) — mont_mul drops its final
+    conditional subtraction (p < R/4 keeps CIOS closed over [0, 2p)), adds
+    reduce mod 2p. Valid because the RCB projective formulas never compare
+    computed field values; host decode canonicalizes (field_lm docs).
+    """
     nprime = fj.FQ.nprime
-    add1 = lambda a, b: flm.add(p_col, pc_col, a, b)
-    sub1 = lambda a, b: flm.sub(p_col, pc_col, a, b)
-    mul1 = lambda a, b: flm.mont_mul(p_col, pc_col, nprime, a, b)
+    if p2 is not None:
+        p2_col, p2c_col = p2
+        add1 = lambda a, b: flm.add_lazy(p2c_col, a, b)
+        sub1 = lambda a, b: flm.sub_lazy(p2_col, p2c_col, a, b)
+        mul1 = lambda a, b: flm.mont_mul_lazy(p_col, nprime, a, b)
+    else:
+        add1 = lambda a, b: flm.add(p_col, pc_col, a, b)
+        sub1 = lambda a, b: flm.sub(p_col, pc_col, a, b)
+        mul1 = lambda a, b: flm.mont_mul(p_col, pc_col, nprime, a, b)
 
     if not is_fq2:
+
+        def mul9(a):
+            x2 = add1(a, a)
+            x4 = add1(x2, x2)
+            x8 = add1(x4, x4)
+            return add1(x8, a)
+
         return cj.FieldAdapter(
             name="fq_lm",
             add=add1,
@@ -69,6 +126,7 @@ def _lm_adapter(p_col, pc_col, is_fq2: bool) -> cj.FieldAdapter:
             one=None,
             zero=None,
             double=lambda a: add1(a, a),
+            mul_b3=mul9,
         )
 
     def fq2_bin(op):
@@ -97,6 +155,22 @@ def _lm_adapter(p_col, pc_col, is_fq2: bool) -> cj.FieldAdapter:
         t = mul1(a0, a1)
         return jnp.concatenate([c0, add1(t, t)], axis=-3)
 
+    def fq2_mul_b3(a):
+        # constant Karatsuba vs 3b' = (c0, c1): v0=a0*c0, v1=a1*c1,
+        # s=(a0+a1)*(c0+c1) — the c0+c1 column is precomputed in consts.
+        # The constant must be the FIRST operand: mont_mul slices 1-limb
+        # rows from the second, and slicing a broadcast constant column
+        # folds to a sublane+lane double broadcast Mosaic cannot lower.
+        b3c0, b3c1, b3sum = b3
+        a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+        v0, v1 = mul1(b3c0, a0), mul1(b3c1, a1)
+        s = mul1(b3sum, add1(a0, a1))
+        return jnp.concatenate(
+            [sub1(v0, v1)[..., None, :, :],
+             sub1(sub1(s, v0), v1)[..., None, :, :]],
+            axis=-3,
+        )
+
     return cj.FieldAdapter(
         name="fq2_lm",
         add=fq2_bin(add1),
@@ -114,20 +188,24 @@ def _lm_adapter(p_col, pc_col, is_fq2: bool) -> cj.FieldAdapter:
         one=None,
         zero=None,
         double=lambda a: fq2_bin(add1)(a, a),
+        mul_b3=fq2_mul_b3,
     )
 
 
+def _bind_adapter(consts, lanes: int, is_fq2: bool) -> cj.FieldAdapter:
+    # Broadcast the constant columns to full lane width up front: Mosaic
+    # cannot concatenate lane-width-1 vectors (offset mismatch on the
+    # non-concat dim), and cond_sub_p/sub pad them along the limb axis.
+    col = lambda j: jnp.broadcast_to(consts[:, j : j + 1], (16, lanes))
+    b3 = (col(3), col(4), col(5)) if is_fq2 else None
+    return _lm_adapter(col(0), col(1), is_fq2, b3, p2=(col(6), col(7)))
+
+
 def _add_kernel(is_fq2: bool, mixed: bool = False):
-    body = cj.madd_impl if mixed else cj.add_impl
+    body = cj.proj_madd_impl if mixed else cj.proj_add_impl
 
     def kernel(consts, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        # Broadcast the modulus columns to full lane width up front: Mosaic
-        # cannot concatenate lane-width-1 vectors (offset mismatch on the
-        # non-concat dim), and cond_sub_p/sub pad them along the limb axis.
-        lanes = x1.shape[-1]
-        p_col = jnp.broadcast_to(consts[:, 0:1], (16, lanes))
-        pc_col = jnp.broadcast_to(consts[:, 1:2], (16, lanes))
-        F = _lm_adapter(p_col, pc_col, is_fq2)
+        F = _bind_adapter(consts, x1.shape[-1], is_fq2)
         r = body(F, (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]))
         ox[:] = r[0]
         oy[:] = r[1]
@@ -148,7 +226,7 @@ def _add_blocked_lm(is_fq2, p_flat, q_flat, block, mixed=False):
         lambda i: (0,) * len(coord) + (i,),
         memory_space=pltpu.VMEM,
     )
-    bs_const = pl.BlockSpec((16, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bs_const = pl.BlockSpec((16, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = tuple(
         jax.ShapeDtypeStruct(coord + (m,), jnp.uint32) for _ in range(3)
     )
@@ -210,22 +288,21 @@ g2_madd_pallas = make_pallas_add(True, mixed=True)
 
 
 def _tile_scan_kernel(is_fq2: bool, K: int, mixed: bool):
-    body = cj.madd_impl if mixed else cj.add_impl
+    body = cj.proj_madd_impl if mixed else cj.proj_add_impl
 
     def kernel(consts, vx, vy, vz, flags, ox, oy, oz, cx, cy, cz):
         lanes = vx.shape[-1]
-        p_col = jnp.broadcast_to(consts[:, 0:1], (16, lanes))
-        pc_col = jnp.broadcast_to(consts[:, 1:2], (16, lanes))
         one_col = jnp.broadcast_to(consts[:, 2:3], (16, lanes))
-        F = _lm_adapter(p_col, pc_col, is_fq2)
+        F = _bind_adapter(consts, lanes, is_fq2)
 
+        # RCB projective identity (0, 1, 0)
         if is_fq2:
             one2 = jnp.concatenate(
                 [one_col[None], jnp.zeros_like(one_col)[None]], axis=0
             )
-            acc0 = (one2, one2, jnp.zeros_like(one2))
+            acc0 = (jnp.zeros_like(one2), one2, jnp.zeros_like(one2))
         else:
-            acc0 = (one_col, one_col, jnp.zeros_like(one_col))
+            acc0 = (jnp.zeros_like(one_col), one_col, jnp.zeros_like(one_col))
 
         # K sequential segmented-scan steps, all intermediates in VMEM:
         # acc = flags[k] ? v[k] : combine(acc, v[k]); out[k] = acc.
@@ -268,7 +345,7 @@ def _tile_scan_blocked(is_fq2, v_flat, flags, t, block, mixed):
     )
     bs_f = pl.BlockSpec((K, 1, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     bs_c = pl.BlockSpec(coord + (block,), lambda i: zeros + (i,), memory_space=pltpu.VMEM)
-    bs_const = pl.BlockSpec((16, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bs_const = pl.BlockSpec((16, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = tuple(
         jax.ShapeDtypeStruct((K,) + coord + (t,), jnp.uint32) for _ in range(3)
     ) + tuple(jax.ShapeDtypeStruct(coord + (t,), jnp.uint32) for _ in range(3))

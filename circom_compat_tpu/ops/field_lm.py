@@ -141,6 +141,66 @@ def mont_mul(
 
 
 # ---------------------------------------------------------------------------
+# Lazy-reduction variants: values live in [0, 2p)
+#
+# BN254 has p < R/4 (p ≈ 0.189 · 2^256), so CIOS on inputs a, b < 2p yields
+# t < (2p·2p)/R + p < 2p with NO final conditional subtraction — the
+# dominant per-mul overhead after the 16-step ladder. Additions reduce
+# mod 2p instead of p (same cost as before); only the host decode
+# canonicalizes. Safe for the RCB projective group law, which contains no
+# equality tests on computed values (ops/curve_pallas.py).
+# ---------------------------------------------------------------------------
+
+
+def mont_mul_lazy(
+    p_col: jnp.ndarray, nprime: int, a: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """(a * b * R^-1) mod* p for a, b < 2p: result < 2p, no cond-subtract."""
+    np_ = np.uint32(nprime)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    t = jnp.zeros(shape[:-2] + (NUM_LIMBS + 1,) + shape[-1:], jnp.uint32)
+
+    def _shift_up17(x):
+        return jnp.concatenate([jnp.zeros_like(x[..., :1, :]), x], axis=-2)
+
+    for i in range(NUM_LIMBS):
+        bi = b[..., i : i + 1, :]
+        prod = a * bi
+        t = t + _pad_top(prod & _MASK) + _shift_up17(prod >> LIMB_BITS)
+        m = ((t[..., 0:1, :] & _MASK) * np_) & _MASK
+        mq = m * p_col
+        t = t + _pad_top(mq & _MASK) + _shift_up17(mq >> LIMB_BITS)
+        carry0 = t[..., 0:1, :] >> LIMB_BITS
+        t = _pad_top(t[..., 1:, :])
+        t = t + _pad_top(carry0, NUM_LIMBS)
+    return normalize_u(t)[..., :16, :]
+
+
+def add_lazy(p2c_col: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """a + b mod* 2p for a, b < 2p; p2c_col = (16, L) limbs of 2^256 - 2p."""
+    s = normalize_u(a + b, pre_passes=1)
+    return cond_sub_p(p2c_col, s)
+
+
+def sub_lazy(p2_col: jnp.ndarray, p2c_col: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """a - b mod* 2p for a, b < 2p (adds 2p, complement trick, reduces)."""
+    comp = _MASK - b
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    limb_idx = jax.lax.broadcasted_iota(jnp.uint32, (NUM_LIMBS + 1, 1), 0)
+    e0 = (limb_idx == 0).astype(jnp.uint32)
+    u = (
+        _pad_top(jnp.broadcast_to(a, shape))
+        + _pad_top(jnp.broadcast_to(comp, shape))
+        + _pad_top(p2_col)
+        + e0
+    )
+    u = normalize_u(u, pre_passes=2)
+    return cond_sub_p(p2c_col, u[..., :16, :])
+
+
+# ---------------------------------------------------------------------------
 # Layout codecs (XLA side, outside kernels)
 # ---------------------------------------------------------------------------
 

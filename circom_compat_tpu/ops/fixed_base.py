@@ -1,5 +1,5 @@
 """Device-accelerated fixed-base multi-scalar point generation + batch
-Jacobian->affine normalization.
+projective->affine normalization.
 
 Trusted setup computes ~5*n_vars generator multiplications (G1*s_i, G2*s_i
 for per-variable QAP evaluations — reference: ark_groth16 parameter
@@ -9,9 +9,10 @@ fixed-base method runs on device instead:
 
   host:   table T[w][d] = G * (d << (8w))  (W x 256 points, ~1 s)
   device: out_i = sum_w T[w][digit_w(s_i)] — a gather + Pallas mixed-add
-          fold over the W windows, vectorized over all N scalars.
+          (RCB complete projective) fold over the W windows, vectorized
+          over all N scalars.
 
-The Jacobian outputs are normalized to affine with Montgomery batch
+The projective outputs are normalized to affine with Montgomery batch
 inversion (two product scans + ONE field inversion for the whole batch),
 because the zkey format stores affine Montgomery coordinates.
 """
@@ -57,11 +58,11 @@ def _fold_windows_device(F, table_xy, digits, combine_madd):
         t_x, t_y, d_row = wd
         gx = t_x[d_row]
         gy = t_y[d_row]
-        q = cj.affine_to_jacobian(F, gx, gy)
+        q = cj.affine_to_proj(F, gx, gy)
         return combine_madd(acc, q), None
 
     n = digits.shape[1]
-    init = cj.infinity(F, (n,))
+    init = cj.proj_infinity(F, (n,))
     out, _ = jax.lax.scan(body, init, (tx, ty, digits))
     return out
 
@@ -93,21 +94,20 @@ def _batch_inv_fq(vals: jnp.ndarray) -> jnp.ndarray:
     return fj.select(zmask, jnp.zeros_like(inv), inv)
 
 
-def g1_jacobian_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched (N,) Jacobian G1 -> affine Montgomery (N,16) x/y; infinity
-    rows come out all-zero (the zkey encoding)."""
+def g1_proj_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched (N,) RCB-projective G1 -> affine Montgomery (N,16) x/y;
+    infinity rows come out all-zero (the zkey encoding)."""
     X, Y, Z = points
     zinv = _batch_inv_fq(Z)
-    zinv2 = fj.mont_mul_impl(fj.FQ, zinv, zinv)
-    x = fj.mont_mul_impl(fj.FQ, X, zinv2)
-    y = fj.mont_mul_impl(fj.FQ, Y, fj.mont_mul_impl(fj.FQ, zinv2, zinv))
+    x = fj.mont_mul_impl(fj.FQ, X, zinv)
+    y = fj.mont_mul_impl(fj.FQ, Y, zinv)
     inf = fj.is_zero(Z)
     zero = jnp.zeros_like(x)
     return fj.select(inf, zero, x), fj.select(inf, zero, y)
 
 
-def g2_jacobian_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched (N,) Jacobian G2 -> affine Montgomery (N,2,16) x/y.
+def g2_proj_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched (N,) RCB-projective G2 -> affine Montgomery (N,2,16) x/y.
 
     Fq2 inversion via the norm: (a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2+a1^2),
     with the Fq norms batch-inverted in one pass."""
@@ -127,9 +127,8 @@ def g2_jacobian_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
         axis=-2,
     )
     F = cj.FQ2_ADAPTER
-    zinv2 = F.sqr(zinv)
-    x = F.mul(X, zinv2)
-    y = F.mul(Y, F.mul(zinv2, zinv))
+    x = F.mul(X, zinv)
+    y = F.mul(Y, zinv)
     inf = F.is_zero(Z)
     zero = jnp.zeros_like(x)
     return F.select(inf, zero, x), F.select(inf, zero, y)
@@ -171,7 +170,7 @@ def fixed_base_points(
     table_xy = _TABLE_CACHE[("g2" if g2 else "g1", WINDOW)]
     F = cj.FQ2_ADAPTER if g2 else cj.FQ_ADAPTER
     madd = msm_ops.leaf_combine_for(F, use_pallas)
-    to_affine = g2_jacobian_to_affine if g2 else g1_jacobian_to_affine
+    to_affine = g2_proj_to_affine if g2 else g1_proj_to_affine
 
     limbs = fj.encode_plain([s % R_SCALAR for s in scalars], fj.FR)
     return _points_from_limbs(limbs, table_xy, F, madd, to_affine, g2, chunk)
@@ -189,7 +188,7 @@ def fixed_base_points_from_limbs(
     _ensure_table(g2)
     F = cj.FQ2_ADAPTER if g2 else cj.FQ_ADAPTER
     madd = msm_ops.leaf_combine_for(F, use_pallas)
-    to_affine = g2_jacobian_to_affine if g2 else g1_jacobian_to_affine
+    to_affine = g2_proj_to_affine if g2 else g1_proj_to_affine
     table_xy = _TABLE_CACHE[("g2" if g2 else "g1", WINDOW)]
     return _points_from_limbs(
         np.asarray(sc_plain, np.uint32), table_xy, F, madd, to_affine, g2, chunk

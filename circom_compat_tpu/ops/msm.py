@@ -5,7 +5,7 @@ its time in (reference: SURVEY §3.4 — "5 MSMs ... THE dominant cost").
 
 The bucket-accumulation scatter (data-dependent in CPU Pippenger) is
 reformulated TPU-style: per window, sort point indices by bucket digit,
-then a segmented associative scan (O(N) Jacobian adds, O(log N) depth)
+then a segmented associative scan (O(N) complete projective adds, O(log N) depth)
 yields all bucket sums; the classic sum_j j*S_j reduction becomes a
 suffix-scan plus tree fold. Everything is static-shaped vector code.
 
@@ -102,7 +102,7 @@ def pick_window_bits(n: int) -> int:
 
 
 def combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
-    """The Jacobian-add combine for scans: Pallas-fused on TPU (one HBM
+    """The point-add combine for scans (RCB complete projective): Pallas-fused on TPU (one HBM
     round-trip per add instead of hundreds — ops/curve_pallas.py), plain
     XLA composition on the CPU test mesh (interpret-mode Pallas there is
     orders of magnitude slower; dedicated parity tests cover the kernel)."""
@@ -112,7 +112,7 @@ def combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
         from . import curve_pallas as cp
 
         return cp.g2_add_pallas if F.name == "fq2" else cp.g1_add_pallas
-    return lambda a, b: cj.add(F, a, b)
+    return lambda a, b: cj.proj_add(F, a, b)
 
 
 def leaf_combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
@@ -124,7 +124,7 @@ def leaf_combine_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
         from . import curve_pallas as cp
 
         return cp.g2_madd_pallas if F.name == "fq2" else cp.g1_madd_pallas
-    return lambda a, b: cj.madd(F, a, b)
+    return lambda a, b: cj.proj_madd(F, a, b)
 
 
 def tile_scans_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
@@ -150,7 +150,7 @@ def _window_sums_one_chunk(
         # 459.7k pts/s) but the recode + per-window negation overhead loses
         # at small ones (2^16/w13: 261k vs 282k).
         signed = window_bits >= 14
-    ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
+    ident = tuple(jnp.asarray(c) for c in cj.proj_identity_const(F))
     if combine is None:
         combine = combine_for(F)
     if leaf is None:
@@ -196,7 +196,7 @@ def _window_sums_one_chunk(
 
 def window_sums_impl(
     F: cj.FieldAdapter,
-    points: cj.Point,  # Jacobian pytree, leading dim N
+    points: cj.Point,  # RCB projective pytree, leading dim N
     scalars: jnp.ndarray,  # (N, 16) uint32, plain canonical
     window_bits: int = 8,
     chunk_points: int = CHUNK_POINTS,
@@ -223,7 +223,7 @@ def window_sums_impl(
     if pad:
         # zero scalars land in bucket 0 (ignored); pad points with infinity
         scalars = jnp.pad(scalars, ((0, pad), (0, 0)))
-        ident = cj.identity_const(F)
+        ident = cj.proj_identity_const(F)
         points = tuple(
             jnp.concatenate(
                 [c, jnp.broadcast_to(jnp.asarray(i), (pad,) + c.shape[1:]).astype(c.dtype)],
@@ -247,7 +247,7 @@ def window_sums_impl(
     # Hillis-Steele base case, so no tile_scan (whose kernel assumes bare
     # point coords, not the extra (W,) window dim these sums carry).
     chunk_sums = jax.lax.map(one, (pts_c, sc_c))  # (C, W, pt)
-    ident = tuple(jnp.asarray(c) for c in cj.identity_const(F))
+    ident = tuple(jnp.asarray(c) for c in cj.proj_identity_const(F))
     return segments.fold(combine, chunk_sums, ident)
 
 
@@ -283,9 +283,9 @@ def msm_g1(
     if n == 0 or len(scalars) == 0:
         return None
     sc = jnp.asarray(fj.encode_plain(list(scalars), fj.FR))[:n]
-    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
-    sums = msm_window_sums(cj.FQ_ADAPTER, jac, sc, window_bits)
-    decoded = cj.decode_g1(sums)
+    pts = cj.affine_to_proj(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    sums = msm_window_sums(cj.FQ_ADAPTER, pts, sc, window_bits)
+    decoded = cj.decode_g1_proj(sums)
     return _fold_windows_host(decoded, rc.G1, window_bits)
 
 
@@ -301,7 +301,7 @@ def msm_g2(
     if n == 0 or len(scalars) == 0:
         return None
     sc = jnp.asarray(fj.encode_plain(list(scalars), fj.FR))[:n]
-    jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
-    sums = msm_window_sums(cj.FQ2_ADAPTER, jac, sc, window_bits)
-    decoded = cj.decode_g2(sums)
+    pts = cj.affine_to_proj(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    sums = msm_window_sums(cj.FQ2_ADAPTER, pts, sc, window_bits)
+    decoded = cj.decode_g2_proj(sums)
     return _fold_windows_host(decoded, rc.G2, window_bits)

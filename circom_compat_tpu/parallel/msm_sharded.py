@@ -3,7 +3,7 @@
 Data-parallel decomposition: Sum_i s_i P_i splits into one independent MSM
 per device over its point/scalar shard; the per-window partial sums (a few
 hundred points, not the N bases) are all-gathered over ICI and tree-folded
-with Jacobian adds on every device, so the jitted function returns final,
+with complete projective adds on every device, so the jitted function returns final,
 replicated window sums. This is SURVEY §2.1's axis (a): "data-parallel
 sharding of MSM ... bucket sums reduced across the mesh".
 """
@@ -53,11 +53,11 @@ def sharded_window_sums(
     """Replicated (W, point) window sums, computed with points/scalars
     sharded over the mesh. jit-compiled per (shapes, mesh)."""
     n_dev = mesh.shape[SHARD_AXIS]
-    combine = lambda a, b: cj.add(F, a, b)
+    combine = lambda a, b: cj.proj_add(F, a, b)
 
     def local(xs_l, ys_l, sc_l):
-        jac = cj.affine_to_jacobian(F, xs_l, ys_l)
-        sums = msm_ops.window_sums_impl(F, jac, sc_l, window_bits)  # (W, pt)
+        pts = cj.affine_to_proj(F, xs_l, ys_l)
+        sums = msm_ops.window_sums_impl(F, pts, sc_l, window_bits)  # (W, pt)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)  # (D, W, pt)
         return segments.tree_fold(combine, gathered, n_dev)
 
@@ -82,4 +82,4 @@ def msm_g1_sharded(points_mont_xy, scalars, mesh: Mesh, window_bits: int = 8):
         cj.FQ_ADAPTER, mesh, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(sc),
         window_bits,
     )
-    return msm_ops._fold_windows_host(cj.decode_g1(sums), rc.G1, window_bits)
+    return msm_ops._fold_windows_host(cj.decode_g1_proj(sums), rc.G1, window_bits)

@@ -120,25 +120,25 @@ def build_sharded_prover(
         def one(args):
             x, y, s = args
             # points ride the mesh in compact uint16; widen on-shard
-            jac = cj.affine_to_jacobian(
+            pts = cj.affine_to_proj(
                 cj.FQ_ADAPTER, x.astype(jnp.uint32), y.astype(jnp.uint32)
             )
-            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, s, window_bits)
+            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, pts, s, window_bits)
 
         sums = jax.lax.map(one, (xs, ys, sc))  # (4, W, pt)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)  # (D, 4, W, pt)
         return segments.tree_fold(
-            lambda a, b: cj.add(cj.FQ_ADAPTER, a, b), gathered, D
+            lambda a, b: cj.proj_add(cj.FQ_ADAPTER, a, b), gathered, D
         )
 
     def g2_body(xs, ys, sc):
-        jac = cj.affine_to_jacobian(
+        pts = cj.affine_to_proj(
             cj.FQ2_ADAPTER, xs.astype(jnp.uint32), ys.astype(jnp.uint32)
         )
-        sums = msm_ops.window_sums_impl(cj.FQ2_ADAPTER, jac, sc, window_bits)
+        sums = msm_ops.window_sums_impl(cj.FQ2_ADAPTER, pts, sc, window_bits)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)
         return segments.tree_fold(
-            lambda a, b: cj.add(cj.FQ2_ADAPTER, a, b), gathered, D
+            lambda a, b: cj.proj_add(cj.FQ2_ADAPTER, a, b), gathered, D
         )
 
     sp_g1 = P(None, SHARD_AXIS)

@@ -76,7 +76,7 @@ def stage_adds(n):
     q = tuple(rand_limbs(rng, (n, 16)) for _ in range(3))
 
     log(f"[adds] compiling XLA G1 add chain (N={n}, chain={CHAIN}) ...")
-    xla_chain = make_chain(lambda a, b: cj.add_impl(cj.FQ_ADAPTER, a, b), 3)
+    xla_chain = make_chain(lambda a, b: cj.proj_add_impl(cj.FQ_ADAPTER, a, b), 3)
     t = time_steady(xla_chain, p, q)
     log(f"RESULT g1_add_xla: {n * CHAIN / t / 1e6:.3f} M adds/s  ({t*1e3:.1f} ms/call)")
 
@@ -109,7 +109,7 @@ def stage_g2msm(n=10240, window_bits=10):
     xs, ys = cj.encode_g2_affine(pts)
     sc = jnp.asarray(fj.encode_plain(
         [rng.randrange(1, fj.FR.modulus) for _ in range(n)], fj.FR))
-    jac = cj.affine_to_jacobian(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    jac = cj.affine_to_proj(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
     log(f"[g2msm] compiling G2 MSM n={n} w={window_bits} ...")
 
     def run():
@@ -132,7 +132,7 @@ def msm_points(n, rng_seed=1):
     xs = np.tile(xs0, (reps, 1))[:n]
     ys = np.tile(ys0, (reps, 1))[:n]
     sc = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
-    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    jac = cj.affine_to_proj(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
     return jac, jnp.asarray(sc)
 
 

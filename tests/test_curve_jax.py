@@ -132,3 +132,66 @@ def test_segmented_point_reduce():
                 acc = rc.G1.add(acc, p)
         want.append(acc)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# RCB complete projective law (proj_add / proj_madd) — the MSM combine
+# ---------------------------------------------------------------------------
+
+
+def _g1_proj(points):
+    xs, ys = cj.encode_g1_affine(points)
+    return cj.affine_to_proj(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+
+
+def _g2_proj(points):
+    xs, ys = cj.encode_g2_affine(points)
+    return cj.affine_to_proj(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+
+
+def test_g1_proj_add_general_and_edges():
+    pts = _rand_g1(6)
+    # general, identity operands, doubling, inverse — one formula for all
+    p_list = pts[:3] + [None, pts[4], pts[4], pts[5], None]
+    q_list = pts[3:6] + [pts[3], None, rc.G1.neg(pts[4]), pts[5], None]
+    out = cj.proj_add(cj.FQ_ADAPTER, _g1_proj(p_list), _g1_proj(q_list))
+    got = cj.decode_g1_proj(out)
+    want = [rc.G1.add(a, b) for a, b in zip(p_list, q_list)]
+    assert got == want
+
+
+def test_g1_proj_add_scaled_representations():
+    """Inputs with Z != 1 (sums of sums) still decode to the right points."""
+    pts = _rand_g1(4)
+    P = cj.proj_add(cj.FQ_ADAPTER, _g1_proj(pts[:2]), _g1_proj(pts[2:]))
+    # (p0+p2) + (p1+p3), both operands projective-scaled
+    out = cj.proj_add(
+        cj.FQ_ADAPTER,
+        jax.tree_util.tree_map(lambda c: c[:1], P),
+        jax.tree_util.tree_map(lambda c: c[1:], P),
+    )
+    want = [rc.G1.add(rc.G1.add(pts[0], pts[2]), rc.G1.add(pts[1], pts[3]))]
+    assert cj.decode_g1_proj(out) == want
+
+
+def test_g1_proj_madd_edges():
+    pts = _rand_g1(5)
+    # acc is projective-scaled (via proj_add with itself); q stays affine
+    p_list = [pts[0], pts[1], None, pts[2], pts[3]]
+    q_list = [pts[1], rc.G1.neg(pts[1]), pts[4], None, pts[3]]
+    acc = cj.proj_add(cj.FQ_ADAPTER, _g1_proj(p_list), _g1_proj([None] * 5))
+    out = cj.proj_madd(cj.FQ_ADAPTER, acc, _g1_proj(q_list))
+    got = cj.decode_g1_proj(out)
+    want = [rc.G1.add(a, b) for a, b in zip(p_list, q_list)]
+    assert got == want
+
+
+def test_g2_proj_add_and_madd():
+    pts = _rand_g2(4)
+    p_list = [pts[0], pts[2], None, pts[3], pts[1]]
+    q_list = [pts[1], rc.G2.neg(pts[2]), pts[0], pts[3], None]
+    out = cj.proj_add(cj.FQ2_ADAPTER, _g2_proj(p_list), _g2_proj(q_list))
+    want = [rc.G2.add(a, b) for a, b in zip(p_list, q_list)]
+    assert cj.decode_g2_proj(out) == want
+    out = cj.proj_madd(cj.FQ2_ADAPTER, _g2_proj(p_list), _g2_proj(q_list))
+    assert cj.decode_g2_proj(out) == want

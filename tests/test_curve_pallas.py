@@ -4,7 +4,9 @@ Runs on the CPU test mesh via pallas interpret mode (ops/curve_pallas.py
 sets interpret=True when the backend is CPU), with a small lane block so
 the padded interpret-mode arrays stay cheap. Covers the same general/edge
 cases as tests/test_curve_jax.py plus its use as a segmented-scan combine
-(the exact MSM integration point, ops/msm.py combine_for).
+(the exact MSM integration point, ops/msm.py combine_for). The kernels
+compute the RCB complete projective group law; points here are encoded
+with affine_to_proj and decoded with decode_g*_proj.
 """
 
 import random
@@ -34,12 +36,12 @@ def _rand_g2(n):
 
 def _g1_dev(points):
     xs, ys = cj.encode_g1_affine(points)
-    return cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    return cj.affine_to_proj(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
 
 
 def _g2_dev(points):
     xs, ys = cj.encode_g2_affine(points)
-    return cj.affine_to_jacobian(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    return cj.affine_to_proj(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
 
 
 def test_g1_pallas_add_general_and_edges():
@@ -47,7 +49,7 @@ def test_g1_pallas_add_general_and_edges():
     p_list = pts[:3] + [None, pts[4], pts[4], pts[5]]
     q_list = pts[3:6] + [pts[3], None, rc.G1.neg(pts[4]), pts[5]]
     out = _g1_add(_g1_dev(p_list), _g1_dev(q_list))
-    got = cj.decode_g1(out)
+    got = cj.decode_g1_proj(out)
     want = [rc.G1.add(a, b) for a, b in zip(p_list, q_list)]
     assert got == want
 
@@ -57,7 +59,7 @@ def test_g2_pallas_add_general_and_edges():
     p_list = [pts[0], pts[2], None, pts[3], pts[1]]
     q_list = [pts[1], rc.G2.neg(pts[2]), pts[0], pts[3], None]
     out = _g2_add(_g2_dev(p_list), _g2_dev(q_list))
-    got = cj.decode_g2(out)
+    got = cj.decode_g2_proj(out)
     want = [rc.G2.add(a, b) for a, b in zip(p_list, q_list)]
     assert got == want
 
@@ -70,7 +72,7 @@ def test_g1_pallas_add_multidim_batch():
     out = _g1_add(P, Q)
     flat = jax.tree_util.tree_map(lambda c: c.reshape(6, 16), out)
     want = [rc.G1.add(a, b) for a, b in zip(pts[:6], pts[6:])]
-    assert cj.decode_g1(flat) == want
+    assert cj.decode_g1_proj(flat) == want
 
 
 def test_pallas_combine_in_segmented_reduce():
@@ -79,9 +81,9 @@ def test_pallas_combine_in_segmented_reduce():
     pts = _rand_g1(8)
     keys = jnp.array([0, 0, 1, 3, 3, 3, 6, 6], dtype=jnp.int32)
     P = _g1_dev(pts)
-    ident = tuple(jnp.asarray(c) for c in cj.identity_const(cj.FQ_ADAPTER))
+    ident = tuple(jnp.asarray(c) for c in cj.proj_identity_const(cj.FQ_ADAPTER))
     out = segments.reduce_by_sorted_key(_g1_add, P, keys, 8, ident)
-    got = cj.decode_g1(out)
+    got = cj.decode_g1_proj(out)
     want = []
     for seg in range(8):
         acc = None
@@ -124,17 +126,19 @@ def test_tile_scan_kernel_g1():
     out, carry = ts(vt, ft)
     out_flat = jax.tree_util.tree_map(lambda c: c.reshape(T * K, 16), out)
     want_out, want_carry = _expected_tile_scan(pts, flags, T, K, rc.G1)
-    assert cj.decode_g1(out_flat) == [x for row in want_out for x in row]
-    assert cj.decode_g1(carry) == want_carry
+    assert cj.decode_g1_proj(out_flat) == [x for row in want_out for x in row]
+    assert cj.decode_g1_proj(carry) == want_carry
 
 
-def test_tile_scan_kernel_g1_general_jacobian():
-    """General (non-madd) kernel with genuinely-Jacobian inputs (Z != 1)."""
+def test_tile_scan_kernel_g1_general_projective():
+    """General (non-madd) kernel with non-affine projective inputs (Z != 1):
+    proj_add(p, p) yields a scaled representation of 2p."""
     T, K = 2, 8
     n = T * K
     pts = _rand_g1(n)
     flags = [i % K == 0 for i in range(n)]
-    P2 = jax.jit(cj.double, static_argnums=0)(cj.FQ_ADAPTER, _g1_dev(pts))
+    P1 = _g1_dev(pts)
+    P2 = cj.proj_add(cj.FQ_ADAPTER, P1, P1)
     vt = jax.tree_util.tree_map(lambda c: c.reshape(T, K, 16), P2)
     ft = jnp.asarray(np.array(flags).reshape(T, K))
     ts = cp.make_tile_scan(False, block=128)
@@ -142,8 +146,8 @@ def test_tile_scan_kernel_g1_general_jacobian():
     doubled = [rc.G1.double(p) for p in pts]
     want_out, want_carry = _expected_tile_scan(doubled, flags, T, K, rc.G1)
     out_flat = jax.tree_util.tree_map(lambda c: c.reshape(T * K, 16), out)
-    assert cj.decode_g1(out_flat) == [x for row in want_out for x in row]
-    assert cj.decode_g1(carry) == want_carry
+    assert cj.decode_g1_proj(out_flat) == [x for row in want_out for x in row]
+    assert cj.decode_g1_proj(carry) == want_carry
 
 
 def test_tile_scan_kernel_g2():
@@ -158,5 +162,5 @@ def test_tile_scan_kernel_g2():
     out, carry = ts(vt, ft)
     want_out, want_carry = _expected_tile_scan(pts, flags, T, K, rc.G2)
     out_flat = jax.tree_util.tree_map(lambda c: c.reshape(T * K, 2, 16), out)
-    assert cj.decode_g2(out_flat) == [x for row in want_out for x in row]
-    assert cj.decode_g2(carry) == want_carry
+    assert cj.decode_g2_proj(out_flat) == [x for row in want_out for x in row]
+    assert cj.decode_g2_proj(carry) == want_carry

@@ -55,16 +55,16 @@ def test_msm_g1_signed_digits_match_unsigned():
     scalars[0] = R_SCALAR - 1
     scalars[1] = (1 << 254) - 1  # max carry propagation
     xs, ys = cj.encode_g1_affine(pts)
-    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    pts_dev = cj.affine_to_proj(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
     sc = jnp.asarray(fj.encode_plain(scalars, fj.FR))
     for w in (8, 13):
-        a = msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, sc, w, signed=True)
-        b = msm_ops.window_sums_impl(cj.FQ_ADAPTER, jac, sc, w, signed=False)
+        a = msm_ops.window_sums_impl(cj.FQ_ADAPTER, pts_dev, sc, w, signed=True)
+        b = msm_ops.window_sums_impl(cj.FQ_ADAPTER, pts_dev, sc, w, signed=False)
         # fold both to the final point and compare
         from circom_compat_tpu.ops.msm import _fold_windows_host
 
-        fa = _fold_windows_host(cj.decode_g1(a), rc.G1, w)
-        fb = _fold_windows_host(cj.decode_g1(b), rc.G1, w)
+        fa = _fold_windows_host(cj.decode_g1_proj(a), rc.G1, w)
+        fb = _fold_windows_host(cj.decode_g1_proj(b), rc.G1, w)
         assert fa == fb == rc.G1.msm(pts, scalars)
 
 
