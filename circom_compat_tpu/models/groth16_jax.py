@@ -262,20 +262,17 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
 
         def g1_one(args):
             xs, ys, s = args
-            pts = cj.affine_to_proj(
-                cj.FQ_ADAPTER, xs.astype(jnp.uint32), ys.astype(jnp.uint32)
+            # uint16 affine rows go straight into the per-window gathers
+            # (64 B/point); widen + projective encode happen post-gather
+            return msm_ops.window_sums_affine_impl(
+                cj.FQ_ADAPTER, xs, ys, s, window_bits
             )
-            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, pts, s, window_bits)
 
         g1_sums = jax.lax.map(g1_one, (arrays["g1_x"], arrays["g1_y"], sc))
 
-        pts2 = cj.affine_to_proj(
-            cj.FQ2_ADAPTER,
-            arrays["g2_x"].astype(jnp.uint32),
-            arrays["g2_y"].astype(jnp.uint32),
-        )
-        g2_sums = msm_ops.window_sums_impl(
-            cj.FQ2_ADAPTER, pts2, asg_plain[: arrays["g2_x"].shape[0]], window_bits
+        g2_sums = msm_ops.window_sums_affine_impl(
+            cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
+            asg_plain[: arrays["g2_x"].shape[0]], window_bits,
         )
         return g1_sums, g2_sums
 

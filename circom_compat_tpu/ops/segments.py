@@ -219,14 +219,18 @@ def _two_level_parts(
         (out, tile_carry) = jax.lax.fori_loop(0, K, body_a, (out0, ident_tile))
 
     # Phase B: segmented scan of tile carries; exclusive carry into each tile.
-    # One recursion level: at T = n/K elements the flat Hillis-Steele costs
-    # T*log2(T) combines (~0.75n for K=16, n=64k); recursing once brings the
-    # whole scan to ~2.16n combines. Depth is capped so the number of
-    # combine instantiations in the graph stays bounded (compile time).
+    # With the XLA-composed combine, depth is capped at 1: each level
+    # instantiates more combine copies in the graph (compile time), and one
+    # level already brings the scan to ~2.16n combines. With a fused
+    # tile_scan the recursion is one pallas_call per level, so it runs to
+    # the Hillis-Steele base case (n <= 2*tile) — the capped form ended in
+    # a ~log2(n/256)-deep Hillis-Steele whose per-step kernel launches
+    # dominated the MSM's bucket tail (measured: suffix+fold over 2^15
+    # buckets was ~88 ms/window, ~70% of the whole 2^20 MSM).
     tile_has_flag = ft.any(axis=1)
     if tile_scan_general is None and combine_leaf is combine:
         tile_scan_general = tile_scan
-    if _depth < 1:
+    if _depth < 1 or tile_scan_general is not None:
         carries_scanned = segmented_scan(
             combine, tile_carry, tile_has_flag, identity, tile, _depth + 1,
             tile_scan=tile_scan_general, tile_scan_general=tile_scan_general,

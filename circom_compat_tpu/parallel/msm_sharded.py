@@ -56,8 +56,9 @@ def sharded_window_sums(
     combine = lambda a, b: cj.proj_add(F, a, b)
 
     def local(xs_l, ys_l, sc_l):
-        pts = cj.affine_to_proj(F, xs_l, ys_l)
-        sums = msm_ops.window_sums_impl(F, pts, sc_l, window_bits)  # (W, pt)
+        sums = msm_ops.window_sums_affine_impl(
+            F, xs_l, ys_l, sc_l, window_bits
+        )  # (W, pt)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)  # (D, W, pt)
         return segments.tree_fold(combine, gathered, n_dev)
 

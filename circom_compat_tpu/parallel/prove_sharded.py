@@ -119,11 +119,10 @@ def build_sharded_prover(
     def g1_body(xs, ys, sc):  # local shards (4, n_pad/D, 16)
         def one(args):
             x, y, s = args
-            # points ride the mesh in compact uint16; widen on-shard
-            pts = cj.affine_to_proj(
-                cj.FQ_ADAPTER, x.astype(jnp.uint32), y.astype(jnp.uint32)
+            # points ride the mesh AND the gathers in compact uint16
+            return msm_ops.window_sums_affine_impl(
+                cj.FQ_ADAPTER, x, y, s, window_bits
             )
-            return msm_ops.window_sums_impl(cj.FQ_ADAPTER, pts, s, window_bits)
 
         sums = jax.lax.map(one, (xs, ys, sc))  # (4, W, pt)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)  # (D, 4, W, pt)
@@ -132,10 +131,9 @@ def build_sharded_prover(
         )
 
     def g2_body(xs, ys, sc):
-        pts = cj.affine_to_proj(
-            cj.FQ2_ADAPTER, xs.astype(jnp.uint32), ys.astype(jnp.uint32)
+        sums = msm_ops.window_sums_affine_impl(
+            cj.FQ2_ADAPTER, xs, ys, sc, window_bits
         )
-        sums = msm_ops.window_sums_impl(cj.FQ2_ADAPTER, pts, sc, window_bits)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)
         return segments.tree_fold(
             lambda a, b: cj.proj_add(cj.FQ2_ADAPTER, a, b), gathered, D

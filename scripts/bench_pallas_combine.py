@@ -109,11 +109,14 @@ def stage_g2msm(n=10240, window_bits=10):
     xs, ys = cj.encode_g2_affine(pts)
     sc = jnp.asarray(fj.encode_plain(
         [rng.randrange(1, fj.FR.modulus) for _ in range(n)], fj.FR))
-    jac = cj.affine_to_proj(cj.FQ2_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    xs16 = jnp.asarray(np.asarray(xs).astype(np.uint16))
+    ys16 = jnp.asarray(np.asarray(ys).astype(np.uint16))
     log(f"[g2msm] compiling G2 MSM n={n} w={window_bits} ...")
 
     def run():
-        return msm_ops.msm_window_sums(cj.FQ2_ADAPTER, jac, sc, window_bits)
+        return jax.jit(
+            msm_ops.window_sums_affine_impl, static_argnums=(0, 4)
+        )(cj.FQ2_ADAPTER, xs16, ys16, sc, window_bits)
 
     t = time_steady(run)
     log(f"RESULT g2_msm_pallas_n{n}_w{window_bits}: {n / t / 1e3:.2f} k points/s  ({t:.3f} s)")
@@ -132,8 +135,7 @@ def msm_points(n, rng_seed=1):
     xs = np.tile(xs0, (reps, 1))[:n]
     ys = np.tile(ys0, (reps, 1))[:n]
     sc = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
-    jac = cj.affine_to_proj(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
-    return jac, jnp.asarray(sc)
+    return (jnp.asarray(xs.astype(np.uint16)), jnp.asarray(ys.astype(np.uint16))), jnp.asarray(sc)
 
 
 def stage_msm(log_n, window_bits=13, log_chunk=16):
@@ -144,10 +146,12 @@ def stage_msm(log_n, window_bits=13, log_chunk=16):
         "with Pallas combine ..."
     )
 
+    xs16, ys16 = jac
+
     def run():
-        return msm_ops.msm_window_sums(
-            cj.FQ_ADAPTER, jac, sc, window_bits, 1 << log_chunk, True
-        )
+        return jax.jit(
+            msm_ops.window_sums_affine_impl, static_argnums=(0, 4, 5, 6)
+        )(cj.FQ_ADAPTER, xs16, ys16, sc, window_bits, 1 << log_chunk, True)
 
     t0 = time.perf_counter()
     t = time_steady(run)
