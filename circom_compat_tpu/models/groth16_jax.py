@@ -292,6 +292,9 @@ def default_window_bits(n: Optional[int] = None) -> int:
     return msm_ops.pick_window_bits(n)
 
 
+
+
+
 def get_prove_core(dpk: DeviceProvingKey, window_bits: Optional[int] = None):
     """Returns run(asg_plain) -> (g1_sums, g2_sums); the underlying jitted
     function takes the key arrays as arguments (see _prove_core)."""

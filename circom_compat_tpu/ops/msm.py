@@ -90,14 +90,15 @@ CHUNK_POINTS = 1 << 20  # live working set cap. With the XLA-composed
 
 
 def pick_window_bits(n: int) -> int:
-    """Minimize scan-Pippenger work W(w)*(n + 1.5*2^w), W = ceil(254/w).
+    """Minimize scan-Pippenger work W(w)*(n + 12*2^w), W = ceil(254/w).
 
-    The bucket-tail coefficient is calibrated on the measured 2^20 sweep
-    (w16 unchunked 503k > w17 479.7k > w15/w13 with signed digits).
-    Clamped to [8, 17]."""
+    The bucket coefficient is calibrated on the measured 2^20 affine-gather
+    sweep (unsigned: w13 899k ~ w14 893k > w15 887k > w12 853k > w16 724k
+    pts/s), which also reproduces the small-size optima. Clamped to
+    [8, 17]."""
     return min(
         range(8, 18),
-        key=lambda w: -(-SCALAR_BITS // w) * (n + (3 << w) // 2),
+        key=lambda w: -(-SCALAR_BITS // w) * (n + (12 << w)),
     )
 
 
@@ -153,10 +154,11 @@ def _window_sums_one_chunk(
     (ablation: 1.33 s of the 2.07 s 2^20 w16 MSM was sort+gather)."""
 
     if signed is None:
-        # measured: signed digits win at large windows (2^20/w16: 503k vs
-        # 459.7k pts/s) but the recode + per-window negation overhead loses
-        # at small ones (2^16/w13: 261k vs 282k).
-        signed = window_bits >= 14
+        # measured (affine-gather era): unsigned wins at every size — the
+        # per-window negate+select of Y costs more than the halved bucket
+        # tail saves (2^20: w13 unsigned 899k vs w13 signed 685k, w15
+        # unsigned 887k vs signed 748k pts/s).
+        signed = False
     ident = tuple(jnp.asarray(c) for c in cj.proj_identity_const(F))
     if combine is None:
         combine = combine_for(F)
