@@ -116,18 +116,20 @@ def main():
     ys = np.tile(ys0, (reps, 1))
     scalars = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
 
-    jac = cj.affine_to_jacobian(cj.FQ_ADAPTER, jnp.asarray(xs), jnp.asarray(ys))
+    xs16 = jnp.asarray(xs.astype(np.uint16))
+    ys16 = jnp.asarray(ys.astype(np.uint16))
     sc = jnp.asarray(scalars)
+    run = jax.jit(msm_ops.window_sums_affine_impl, static_argnums=(0, 4))
 
     # Compile once; np.asarray forces full materialization (block_until_ready
     # proved unreliable through the remote-TPU tunnel).
-    sums = msm_ops.msm_window_sums(cj.FQ_ADAPTER, jac, sc, args.window_bits)
+    sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, args.window_bits)
     _ = [np.asarray(c) for c in sums]
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        sums = msm_ops.msm_window_sums(cj.FQ_ADAPTER, jac, sc, args.window_bits)
+        sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, args.window_bits)
         _ = [np.asarray(c) for c in sums]
         times.append(time.perf_counter() - t0)
     best = min(times)
