@@ -182,6 +182,10 @@ def _device_arrays(dpk: DeviceProvingKey) -> dict:
                 "coset": jnp.asarray(plan.coset),
                 "bitrev": jnp.asarray(plan.bitrev),
                 "n_inv": jnp.asarray(plan.n_inv),
+                # limb-major tables for the Pallas witness-map pipeline
+                "tw_fwd_lm": jnp.asarray(plan.tw_fwd_lm),
+                "tw_inv_lm": jnp.asarray(plan.tw_inv_lm),
+                "coset_bitrev_lm": jnp.asarray(plan.coset_bitrev_lm),
             },
         }
     return dpk._cache["arrays"]
@@ -218,6 +222,9 @@ class _TracedNTTPlan:
         self.coset = tables["coset"]
         self.bitrev = tables["bitrev"]
         self.n_inv = tables["n_inv"]
+        self.tw_fwd_lm = tables["tw_fwd_lm"]
+        self.tw_inv_lm = tables["tw_inv_lm"]
+        self.coset_bitrev_lm = tables["coset_bitrev_lm"]
 
 
 def _prove_core(dpk: DeviceProvingKey, window_bits: int):
@@ -235,14 +242,22 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
 
     def core(arrays, asg_plain):
         plan_t = _TracedNTTPlan(domain_size, arrays["ntt"])
-        asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
+        from ..ops import field_pallas as fp
+
+        if fp.use_pallas():
+            asg_mont = fp.fr_to_mont(asg_plain)
+        else:
+            asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
         h_mont = ntt.witness_map_impl(
             plan_t,
             arrays["a_rows"], arrays["a_cols"], arrays["a_vals"],
             arrays["b_rows"], arrays["b_cols"], arrays["b_vals"],
             asg_mont, num_constraints, num_inputs,
         )
-        h_plain = fj.from_mont_impl(fj.FR, h_mont)
+        if fp.use_pallas():
+            h_plain = fp.fr_from_mont(h_mont)
+        else:
+            h_plain = fj.from_mont_impl(fj.FR, h_mont)
 
         n_max = arrays["g1_x"].shape[1]
 

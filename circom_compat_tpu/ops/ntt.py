@@ -85,6 +85,21 @@ class NTTPlan:
         root_2n = fr_root_of_unity(2 * n)
         self.coset = _power_table(root_2n, n)
 
+    # Limb-major variants for the Pallas witness-map pipeline, where the
+    # coset multiply happens on bit-reversed-order coefficients (DIF
+    # output): position p holds coeff rev(p), so it takes coset[rev(p)].
+    @property
+    def tw_fwd_lm(self):
+        return np.ascontiguousarray(self.tw_fwd.T)
+
+    @property
+    def tw_inv_lm(self):
+        return np.ascontiguousarray(self.tw_inv.T)
+
+    @property
+    def coset_bitrev_lm(self):
+        return np.ascontiguousarray(self.coset[self.bitrev].T)
+
 
 def ntt_core_batched(
     x: jnp.ndarray, table, bitrev, n: int, log_n: int
@@ -94,6 +109,11 @@ def ntt_core_batched(
     `table` is the (n/2, 16) twiddle table for the chosen direction;
     `bitrev` the (n,) permutation. Shared by the single-chip NTT and the
     local stages of the four-step distributed NTT (parallel/ntt_sharded.py).
+
+    (This row-major form is the CPU/ground-truth path; the TPU witness map
+    runs the limb-major Pallas pipeline below — per-stage Pallas calls in
+    THIS layout measured slower than XLA because of the (N,16)<->(16,N)
+    relayouts around every kernel.)
     """
     x = jnp.take(x, jnp.asarray(bitrev), axis=-2)
     batch = x.shape[:-2]
@@ -104,11 +124,101 @@ def ntt_core_batched(
         tw = jnp.asarray(table[::stride][:half])  # (half, 16)
         xm = x.reshape(batch + (n // length, length, 16))
         u = xm[..., :half, :]
-        v = fj.mont_mul(FR, xm[..., half:, :], tw)
+        v = xm[..., half:, :]
+        t = fj.mont_mul(FR, v, tw)
         x = jnp.concatenate(
-            [fj.add(FR, u, v), fj.sub(FR, u, v)], axis=-2
+            [fj.add(FR, u, t), fj.sub(FR, u, t)], axis=-2
         ).reshape(batch + (n, 16))
     return x
+
+
+# ---------------------------------------------------------------------------
+# Limb-major Pallas NTT pipeline (TPU witness-map path)
+#
+# Arrays are (16, n) end-to-end: no per-stage relayouts. The iFFTs run
+# decimation-in-frequency (natural in, bit-reversed out) and the FFTs
+# decimation-in-time (bit-reversed in, natural out), so the bit-reversal
+# permutations between them CANCEL; the coset table is pre-permuted by
+# bitrev on the host instead (NTTPlan.coset_bitrev). Values ride the lazy
+# [0, 2p) representation (ops/field_pallas.py).
+# ---------------------------------------------------------------------------
+
+
+def _stage_slices(x_lm, n, half):
+    length = half * 2
+    xm = x_lm.reshape(16, n // length, length)
+    u = xm[..., :half].reshape(16, n // 2)
+    v = xm[..., half:].reshape(16, n // 2)
+    return u, v
+
+
+def _stage_merge(o1, o2, n, half):
+    length = half * 2
+    a = o1.reshape(16, n // length, half)
+    b = o2.reshape(16, n // length, half)
+    return jnp.concatenate([a, b], axis=-1).reshape(16, n)
+
+
+def _stage_tw(table_lm, n, half):
+    """(16, half) stage twiddles broadcast to (16, n/2) flat lanes."""
+    stride = n // (half * 2)
+    tw = table_lm[:, ::stride][:, :half]  # (16, half)
+    return jnp.broadcast_to(
+        tw[:, None, :], (16, n // (half * 2), half)
+    ).reshape(16, n // 2)
+
+
+LOW_BLOCK = 512  # lanes per fused low-stage kernel block
+
+
+def _low_tw_stack(table_lm, n: int, n_low: int, block: int) -> jnp.ndarray:
+    """(n_low, 16, block) per-lane twiddles for the fused low-stage kernel:
+    stage s, lane l -> table[(l % 2^s) * (n / 2^(s+1))]."""
+    lanes = np.arange(block)
+    rows = []
+    for s in range(n_low):
+        half = 1 << s
+        stride = n // (half * 2)
+        idx = (lanes % half) * stride
+        rows.append(table_lm[:, jnp.asarray(idx)])
+    return jnp.stack(rows, axis=0)
+
+
+def ntt_lm_dit(x_lm: jnp.ndarray, table_lm, n: int, log_n: int) -> jnp.ndarray:
+    """(16, n) limb-major DIT butterflies: bit-reversed input -> natural.
+
+    Stages with length <= LOW_BLOCK run fused in ONE kernel (lane-roll
+    pairing in VMEM, field_pallas.ntt_low_stages_lm); the remaining high
+    stages are one butterfly kernel each over sliced halves."""
+    from . import field_pallas as fp
+
+    block = min(LOW_BLOCK, n)
+    n_low = min(log_n, block.bit_length() - 1)
+    tw_stack = _low_tw_stack(table_lm, n, n_low, block)
+    x_lm = fp.ntt_low_stages_lm(x_lm, tw_stack, n_low, False, block)
+    for s in range(n_low, log_n):
+        half = 1 << s
+        u, v = _stage_slices(x_lm, n, half)
+        tw = _stage_tw(table_lm, n, half)
+        o1, o2 = fp.fr_butterfly_lm(u, v, tw, dif=False)
+        x_lm = _stage_merge(o1, o2, n, half)
+    return x_lm
+
+
+def ntt_lm_dif(x_lm: jnp.ndarray, table_lm, n: int, log_n: int) -> jnp.ndarray:
+    """(16, n) limb-major DIF butterflies: natural input -> bit-reversed."""
+    from . import field_pallas as fp
+
+    block = min(LOW_BLOCK, n)
+    n_low = min(log_n, block.bit_length() - 1)
+    for s in range(log_n - 1, n_low - 1, -1):
+        half = 1 << s
+        u, v = _stage_slices(x_lm, n, half)
+        tw = _stage_tw(table_lm, n, half)
+        o1, o2 = fp.fr_butterfly_lm(u, v, tw, dif=True)
+        x_lm = _stage_merge(o1, o2, n, half)
+    tw_stack = _low_tw_stack(table_lm, n, n_low, block)
+    return fp.ntt_low_stages_lm(x_lm, tw_stack, n_low, True, block)
 
 
 def _ntt_core(plan: NTTPlan, x: jnp.ndarray, table) -> jnp.ndarray:
@@ -122,13 +232,13 @@ def fft(plan: NTTPlan, coeffs: jnp.ndarray) -> jnp.ndarray:
 
 def ifft(plan: NTTPlan, evals: jnp.ndarray) -> jnp.ndarray:
     out = _ntt_core(plan, evals, plan.tw_inv)
-    return fj.mont_mul(FR, out, plan.n_inv)
+    return fj.mont_mul(FR, out, jnp.asarray(plan.n_inv))
 
 
 def coset_shift(plan: NTTPlan, coeffs: jnp.ndarray) -> jnp.ndarray:
     """coeffs[i] *= g^i with g the 2n-th root of unity — arkworks'
     distribute_powers (reference: src/circom/qap.rs:69-70)."""
-    return fj.mont_mul(FR, coeffs, plan.coset)
+    return fj.mont_mul(FR, coeffs, jnp.asarray(plan.coset))
 
 
 # ---------------------------------------------------------------------------
@@ -145,10 +255,18 @@ def sparse_eval(
 ) -> jnp.ndarray:
     """Per-row sparse dot products sum(coeff * w[col]) mod r — the hot loop
     the reference runs under Rayon (reference: src/circom/qap.rs:37-44)."""
+    from . import field_pallas as fp
+
     # values may arrive as uint16 (compact zkey-width staging) — widen here.
     values_mont = values_mont.astype(jnp.uint32)
-    prods = fj.mont_mul(FR, values_mont, assignment_mont[cols])
     zero = jnp.zeros(16, jnp.uint32)
+    if fp.use_pallas():
+        prods = fp.fr_mul(values_mont, assignment_mont[cols])
+        return segments.reduce_by_sorted_key(
+            fp.fr_add, prods, rows_sorted, num_rows, zero,
+            tile_scan=fp.fr_tile_scan, tile_scan_general=fp.fr_tile_scan,
+        )
+    prods = fj.mont_mul(FR, values_mont, assignment_mont[cols])
     return segments.reduce_by_sorted_key(
         lambda a, b: fj.add(FR, a, b), prods, rows_sorted, num_rows, zero
     )
@@ -178,6 +296,11 @@ def witness_map(
         assignment_mont[:num_inputs]
     )
 
+    from . import field_pallas as fp
+
+    if fp.use_pallas() and n >= 1024:
+        return _witness_map_transforms_lm(plan, a, b)
+
     c = fj.mont_mul(FR, a, b)
 
     # Call the un-jitted impls: `plan` may be a _TracedNTTPlan whose tables
@@ -192,6 +315,36 @@ def witness_map(
     c = fft_impl(plan, coset_shift_impl(plan, ifft_impl(plan, c)))
 
     return fj.sub(FR, ab, c)
+
+
+def _witness_map_transforms_lm(plan, a, b):
+    """The 6-transform + pointwise tail of the witness map, limb-major on
+    Pallas: two relayouts total (in/out); DIF/DIT bitrev cancellation."""
+    from . import field_pallas as fp
+
+    n, log_n = plan.n, plan.log_n
+    tw_inv_lm = jnp.asarray(plan.tw_inv_lm)
+    tw_fwd_lm = jnp.asarray(plan.tw_fwd_lm)
+    coset_lm = jnp.asarray(plan.coset_bitrev_lm)
+    n_inv = jnp.asarray(plan.n_inv)
+
+    a_lm = a.T
+    b_lm = b.T
+    c_lm = fp.fr_mul_lm(a_lm, b_lm)
+
+    def ifft_coset_fft(x_lm):
+        x_lm = ntt_lm_dif(x_lm, tw_inv_lm, n, log_n)  # bitrev coeffs
+        x_lm = fp.fr_mul_const_lm(n_inv, x_lm)
+        x_lm = fp.fr_mul_lm(x_lm, coset_lm)  # coset in bitrev order
+        return ntt_lm_dit(x_lm, tw_fwd_lm, n, log_n)  # natural evals
+
+    a_lm = ifft_coset_fft(a_lm)
+    b_lm = ifft_coset_fft(b_lm)
+    ab_lm = fp.fr_mul_lm(a_lm, b_lm)
+    c_lm = ifft_coset_fft(c_lm)
+
+    # lazy [0, 2p); consumers canonicalize (fr_from_mont)
+    return fp.fr_sub_lm(ab_lm, c_lm).T
 
 
 # jit public entry points (plan/sizes static; eager callers get cached kernels)

@@ -145,13 +145,21 @@ def build_sharded_prover(
     g2_sm = shmap(g2_body, mesh=mesh, in_specs=(sp_g2, sp_g2, sp_g2), out_specs=P())
 
     def step(asg_plain):  # (n_vars, 16) uint32, replicated
-        asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
+        from ..ops import field_pallas as fp
+
+        if fp.use_pallas():
+            asg_mont = fp.fr_to_mont(asg_plain)
+        else:
+            asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
         if dist_ntt:
             # TD flat order — paired with the TD-permuted H point row
             h_mont = dist_wm(asg_mont)
         else:
             h_mont = gj._witness_map_mont(dpk, asg_mont)
-        h_plain = fj.from_mont_impl(fj.FR, h_mont)
+        if fp.use_pallas():
+            h_plain = fp.fr_from_mont(h_mont)
+        else:
+            h_plain = fj.from_mont_impl(fj.FR, h_mont)
         sc = gj._scalar_stack(dpk, asg_plain, h_plain)  # (4, n_max, 16)
         sc = jnp.pad(sc, ((0, 0), (0, n_pad - n_max), (0, 0)))
         g1_sums = g1_sm(g1_x, g1_y, sc)
