@@ -182,10 +182,26 @@ def _device_arrays(dpk: DeviceProvingKey) -> dict:
                 "coset": jnp.asarray(plan.coset),
                 "bitrev": jnp.asarray(plan.bitrev),
                 "n_inv": jnp.asarray(plan.n_inv),
-                # limb-major tables for the Pallas witness-map pipeline
-                "tw_fwd_lm": jnp.asarray(plan.tw_fwd_lm),
-                "tw_inv_lm": jnp.asarray(plan.tw_inv_lm),
-                "coset_bitrev_lm": jnp.asarray(plan.coset_bitrev_lm),
+                # limb-major tables for the Pallas witness-map pipeline:
+                # four-step tables for domains >= 4096, flat DIF/DIT
+                # tables otherwise (ntt._witness_map_transforms_lm)
+                **(
+                    {
+                        "t3_fwd_lm": jnp.asarray(plan.t3_fwd_lm),
+                        "t3_inv_lm": jnp.asarray(plan.t3_inv_lm),
+                        "coset4_lm": jnp.asarray(plan.coset4_lm),
+                        "tw1_fwd_lm": jnp.asarray(plan.tw1_fwd_lm),
+                        "tw1_inv_lm": jnp.asarray(plan.tw1_inv_lm),
+                        "tw2_fwd_lm": jnp.asarray(plan.tw2_fwd_lm),
+                        "tw2_inv_lm": jnp.asarray(plan.tw2_inv_lm),
+                    }
+                    if plan.n >= ntt.FOUR_STEP_MIN
+                    else {
+                        "tw_fwd_lm": jnp.asarray(plan.tw_fwd_lm),
+                        "tw_inv_lm": jnp.asarray(plan.tw_inv_lm),
+                        "coset_bitrev_lm": jnp.asarray(plan.coset_bitrev_lm),
+                    }
+                ),
             },
         }
     return dpk._cache["arrays"]
@@ -222,9 +238,21 @@ class _TracedNTTPlan:
         self.coset = tables["coset"]
         self.bitrev = tables["bitrev"]
         self.n_inv = tables["n_inv"]
-        self.tw_fwd_lm = tables["tw_fwd_lm"]
-        self.tw_inv_lm = tables["tw_inv_lm"]
-        self.coset_bitrev_lm = tables["coset_bitrev_lm"]
+        for key in (
+            "tw_fwd_lm", "tw_inv_lm", "coset_bitrev_lm",
+            "t3_fwd_lm", "t3_inv_lm", "coset4_lm",
+            "tw1_fwd_lm", "tw1_inv_lm", "tw2_fwd_lm", "tw2_inv_lm",
+        ):
+            if key in tables:
+                setattr(self, key, tables[key])
+
+    @property
+    def n1(self):
+        return 1 << (self.log_n // 2)
+
+    @property
+    def n2(self):
+        return self.n // self.n1
 
 
 def _prove_core(dpk: DeviceProvingKey, window_bits: int):

@@ -100,6 +100,82 @@ class NTTPlan:
     def coset_bitrev_lm(self):
         return np.ascontiguousarray(self.coset[self.bitrev].T)
 
+    # ---- single-chip four-step tables (limb-major) -----------------------
+    # n = n1*n2; the iFFT runs F = [T; DIF rows n1; TW; T; DIF rows n2]
+    # (natural in, pi out with pi(a, b) -> coeff rev1(a) + n1*rev2(b)); the
+    # FFT runs F^T = [DIT rows n2; T; TW; DIT rows n1; T] (pi in, natural
+    # out) — valid because a DIT stage matrix is the transpose of the DIF
+    # stage matrix with the same twiddles and the DFT matrix is symmetric.
+    @property
+    def n1(self):
+        return 1 << (self.log_n // 2)
+
+    @property
+    def n2(self):
+        return self.n // self.n1
+
+    def _rev(self, m):
+        log_m = m.bit_length() - 1
+        idx = np.arange(m, dtype=np.int64)
+        rev = np.zeros(m, dtype=np.int64)
+        for b in range(log_m):
+            rev |= ((idx >> b) & 1) << (log_m - 1 - b)
+        return rev
+
+    def _t3(self, inverse: bool) -> np.ndarray:
+        """(16, n) flat twiddle for the middle step, (j2, rev-k1) layout."""
+        n1, n2 = self.n1, self.n2
+        root = fr_root_of_unity(self.n)
+        w = pow(root, -1, R_SCALAR) if inverse else root
+        rev1 = self._rev(n1)
+        tbl = _power_table(w, self.n)  # w^t for t in [0, n)
+        j2 = np.arange(n2)[:, None]
+        k1 = rev1[None, :]
+        idx = (j2 * k1) % self.n  # (n2, n1)
+        return np.ascontiguousarray(tbl[idx.reshape(-1)].T)
+
+    @property
+    def t3_fwd_lm(self):
+        return self._t3(False)
+
+    @property
+    def t3_inv_lm(self):
+        return self._t3(True)
+
+    @property
+    def coset4_lm(self):
+        """coset table permuted to the four-step pi order: position
+        p = a*n2 + b holds coset[rev1(a) + n1*rev2(b)]."""
+        n1, n2 = self.n1, self.n2
+        rev1, rev2 = self._rev(n1), self._rev(n2)
+        a = np.arange(n1)[:, None]
+        b = np.arange(n2)[None, :]
+        idx = rev1[a] + n1 * rev2[b]  # (n1, n2)
+        return np.ascontiguousarray(self.coset[idx.reshape(-1)].T)
+
+    def _row_table(self, m: int, inverse: bool) -> np.ndarray:
+        root = fr_root_of_unity(self.n)
+        w = pow(root, self.n // m, R_SCALAR)  # m-th root
+        if inverse:
+            w = pow(w, -1, R_SCALAR)
+        return np.ascontiguousarray(_power_table(w, max(m // 2, 1)).T)
+
+    @property
+    def tw1_fwd_lm(self):
+        return self._row_table(self.n1, False)
+
+    @property
+    def tw1_inv_lm(self):
+        return self._row_table(self.n1, True)
+
+    @property
+    def tw2_fwd_lm(self):
+        return self._row_table(self.n2, False)
+
+    @property
+    def tw2_inv_lm(self):
+        return self._row_table(self.n2, True)
+
 
 def ntt_core_batched(
     x: jnp.ndarray, table, bitrev, n: int, log_n: int
@@ -169,6 +245,10 @@ def _stage_tw(table_lm, n, half):
 
 
 LOW_BLOCK = 512  # lanes per fused low-stage kernel block
+
+# Mosaic requires lane-block sizes of >= 128 (or the full array), so the
+# four-step row kernels need both factors >= 128: n >= 128*128.
+FOUR_STEP_MIN = 1 << 14
 
 
 def _low_tw_stack(table_lm, n: int, n_low: int, block: int) -> jnp.ndarray:
@@ -317,26 +397,74 @@ def witness_map(
     return fj.sub(FR, ab, c)
 
 
+def _ifft4_lm(plan, x_lm, tw1_stack, tw2_stack, t3_inv, n_inv):
+    """Four-step iFFT: (16, n) natural evals -> pi-ordered coeffs (lazy)."""
+    from . import field_pallas as fp
+
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    x = jnp.swapaxes(x_lm.reshape(16, n1, n2), 1, 2).reshape(16, n)
+    x = fp.ntt_low_stages_lm(x, tw1_stack, n1.bit_length() - 1, True, n1)
+    x = fp.fr_mul_lm(x, t3_inv)
+    x = jnp.swapaxes(x.reshape(16, n2, n1), 1, 2).reshape(16, n)
+    x = fp.ntt_low_stages_lm(x, tw2_stack, n2.bit_length() - 1, True, n2)
+    return fp.fr_mul_const_lm(n_inv, x)
+
+
+def _fft4_lm(plan, y_lm, tw1_stack, tw2_stack, t3_fwd):
+    """Four-step FFT, the transpose chain: pi-ordered coeffs -> natural
+    evals (see NTTPlan four-step notes)."""
+    from . import field_pallas as fp
+
+    n, n1, n2 = plan.n, plan.n1, plan.n2
+    y = fp.ntt_low_stages_lm(y_lm, tw2_stack, n2.bit_length() - 1, False, n2)
+    y = jnp.swapaxes(y.reshape(16, n1, n2), 1, 2).reshape(16, n)
+    y = fp.fr_mul_lm(y, t3_fwd)
+    y = fp.ntt_low_stages_lm(y, tw1_stack, n1.bit_length() - 1, False, n1)
+    return jnp.swapaxes(y.reshape(16, n2, n1), 1, 2).reshape(16, n)
+
+
 def _witness_map_transforms_lm(plan, a, b):
     """The 6-transform + pointwise tail of the witness map, limb-major on
-    Pallas: two relayouts total (in/out); DIF/DIT bitrev cancellation."""
+    Pallas. Domains >= FOUR_STEP_MIN use the four-step factorization
+    (every NTT stage lives in a fused row kernel; two lane transposes per
+    transform); smaller domains use the flat DIF/DIT chain. Output is lazy
+    [0, 2p)."""
     from . import field_pallas as fp
 
     n, log_n = plan.n, plan.log_n
-    tw_inv_lm = jnp.asarray(plan.tw_inv_lm)
-    tw_fwd_lm = jnp.asarray(plan.tw_fwd_lm)
-    coset_lm = jnp.asarray(plan.coset_bitrev_lm)
-    n_inv = jnp.asarray(plan.n_inv)
-
     a_lm = a.T
     b_lm = b.T
     c_lm = fp.fr_mul_lm(a_lm, b_lm)
 
-    def ifft_coset_fft(x_lm):
-        x_lm = ntt_lm_dif(x_lm, tw_inv_lm, n, log_n)  # bitrev coeffs
-        x_lm = fp.fr_mul_const_lm(n_inv, x_lm)
-        x_lm = fp.fr_mul_lm(x_lm, coset_lm)  # coset in bitrev order
-        return ntt_lm_dit(x_lm, tw_fwd_lm, n, log_n)  # natural evals
+    if n >= FOUR_STEP_MIN:
+        from . import field_pallas as fp2
+
+        n1, n2 = plan.n1, plan.n2
+        tw1i = _low_tw_stack(jnp.asarray(plan.tw1_inv_lm), n1, n1.bit_length() - 1, n1)
+        tw2i = _low_tw_stack(jnp.asarray(plan.tw2_inv_lm), n2, n2.bit_length() - 1, n2)
+        tw1f = _low_tw_stack(jnp.asarray(plan.tw1_fwd_lm), n1, n1.bit_length() - 1, n1)
+        tw2f = _low_tw_stack(jnp.asarray(plan.tw2_fwd_lm), n2, n2.bit_length() - 1, n2)
+        t3i = jnp.asarray(plan.t3_inv_lm)
+        t3f = jnp.asarray(plan.t3_fwd_lm)
+        coset4 = jnp.asarray(plan.coset4_lm)
+        n_inv = jnp.asarray(plan.n_inv)
+
+        def ifft_coset_fft(x_lm):
+            x_lm = _ifft4_lm(plan, x_lm, tw1i, tw2i, t3i, n_inv)
+            x_lm = fp.fr_mul_lm(x_lm, coset4)
+            return _fft4_lm(plan, x_lm, tw1f, tw2f, t3f)
+
+    else:
+        tw_inv_lm = jnp.asarray(plan.tw_inv_lm)
+        tw_fwd_lm = jnp.asarray(plan.tw_fwd_lm)
+        coset_lm = jnp.asarray(plan.coset_bitrev_lm)
+        n_inv = jnp.asarray(plan.n_inv)
+
+        def ifft_coset_fft(x_lm):
+            x_lm = ntt_lm_dif(x_lm, tw_inv_lm, n, log_n)  # bitrev coeffs
+            x_lm = fp.fr_mul_const_lm(n_inv, x_lm)
+            x_lm = fp.fr_mul_lm(x_lm, coset_lm)  # coset in bitrev order
+            return ntt_lm_dit(x_lm, tw_fwd_lm, n, log_n)  # natural evals
 
     a_lm = ifft_coset_fft(a_lm)
     b_lm = ifft_coset_fft(b_lm)

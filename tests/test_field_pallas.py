@@ -115,14 +115,21 @@ def test_fr_tile_scan_segment_sums():
     assert got == want
 
 
-def test_witness_map_transforms_lm_parity():
-    """The limb-major DIF/DIT Pallas pipeline must match the XLA tail of
-    the witness map (ifft -> coset -> fft on a, b, c; ab - c) mod r."""
+import pytest
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_witness_map_transforms_lm_parity(n, monkeypatch):
+    """The limb-major Pallas pipeline (flat DIF/DIT at 1024, four-step at
+    4096 via a lowered threshold — interpret mode does not enforce
+    Mosaic's 128-lane block minimum) must match the XLA witness-map tail
+    mod r."""
     import jax
 
     from circom_compat_tpu.ops import ntt
 
-    n = 1024
+    monkeypatch.setattr(ntt, "FOUR_STEP_MIN", 4096)
+
     plan = ntt.get_plan(n)
     a_i = _vals(n)
     b_i = _vals(n)
