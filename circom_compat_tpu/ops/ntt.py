@@ -34,15 +34,15 @@ def _mont(v: int) -> np.ndarray:
     return limb_codec.int_to_limbs((v << 256) % R_SCALAR)
 
 
-def _power_table(w: int, n: int) -> np.ndarray:
-    """[w^0, ..., w^(n-1)] Montgomery, as a (n, 16) uint32 host array.
+def _power_table(w: int, n: int, scale: int = 1) -> np.ndarray:
+    """[scale*w^0, ..., scale*w^(n-1)] Montgomery, as (n, 16) uint32.
 
     Pure-host build (Python bigint chain + one frombuffer) — issuing no
     device ops keeps plan construction compile-free; the tables embed as
     constants in the jitted NTT graphs.
     """
     r = (1 << 256) % R_SCALAR
-    acc = r  # 1 in Montgomery form
+    acc = r * scale % R_SCALAR  # scale in Montgomery form
     w = w % R_SCALAR
     chunks = bytearray()
     for _ in range(n):
@@ -123,12 +123,17 @@ class NTTPlan:
         return rev
 
     def _t3(self, inverse: bool) -> np.ndarray:
-        """(16, n) flat twiddle for the middle step, (j2, rev-k1) layout."""
+        """(16, n) flat twiddle for the middle step, (j2, rev-k1) layout.
+
+        The inverse table carries the 1/n scale folded in (scaling commutes
+        with the second linear row transform), so the iFFT needs no
+        separate n_inv pass."""
         n1, n2 = self.n1, self.n2
         root = fr_root_of_unity(self.n)
         w = pow(root, -1, R_SCALAR) if inverse else root
+        scale = pow(self.n, -1, R_SCALAR) if inverse else 1
         rev1 = self._rev(n1)
-        tbl = _power_table(w, self.n)  # w^t for t in [0, n)
+        tbl = _power_table(w, self.n, scale)  # scale * w^t
         j2 = np.arange(n2)[:, None]
         k1 = rev1[None, :]
         idx = (j2 * k1) % self.n  # (n2, n1)
@@ -397,8 +402,9 @@ def witness_map(
     return fj.sub(FR, ab, c)
 
 
-def _ifft4_lm(plan, x_lm, tw1_stack, tw2_stack, t3_inv, n_inv):
-    """Four-step iFFT: (16, n) natural evals -> pi-ordered coeffs (lazy)."""
+def _ifft4_lm(plan, x_lm, tw1_stack, tw2_stack, t3_inv):
+    """Four-step iFFT: (16, n) natural evals -> pi-ordered coeffs (lazy);
+    the 1/n scale rides the t3_inv table."""
     from . import field_pallas as fp
 
     n, n1, n2 = plan.n, plan.n1, plan.n2
@@ -406,8 +412,8 @@ def _ifft4_lm(plan, x_lm, tw1_stack, tw2_stack, t3_inv, n_inv):
     x = fp.ntt_low_stages_lm(x, tw1_stack, n1.bit_length() - 1, True, n1)
     x = fp.fr_mul_lm(x, t3_inv)
     x = jnp.swapaxes(x.reshape(16, n2, n1), 1, 2).reshape(16, n)
-    x = fp.ntt_low_stages_lm(x, tw2_stack, n2.bit_length() - 1, True, n2)
-    return fp.fr_mul_const_lm(n_inv, x)
+    # n_inv is folded into the t3_inv table (see NTTPlan._t3)
+    return fp.ntt_low_stages_lm(x, tw2_stack, n2.bit_length() - 1, True, n2)
 
 
 def _fft4_lm(plan, y_lm, tw1_stack, tw2_stack, t3_fwd):
@@ -447,10 +453,9 @@ def _witness_map_transforms_lm(plan, a, b):
         t3i = jnp.asarray(plan.t3_inv_lm)
         t3f = jnp.asarray(plan.t3_fwd_lm)
         coset4 = jnp.asarray(plan.coset4_lm)
-        n_inv = jnp.asarray(plan.n_inv)
 
         def ifft_coset_fft(x_lm):
-            x_lm = _ifft4_lm(plan, x_lm, tw1i, tw2i, t3i, n_inv)
+            x_lm = _ifft4_lm(plan, x_lm, tw1i, tw2i, t3i)
             x_lm = fp.fr_mul_lm(x_lm, coset4)
             return _fft4_lm(plan, x_lm, tw1f, tw2f, t3f)
 
