@@ -135,9 +135,13 @@ def main():
     best = min(times)
     pts_per_sec = n / best
 
-    # Baseline: arkworks-rs G1 MSM on one modern x86 core is ~1e6 points/s
-    # at 2^20 (asm + Pippenger). Rust toolchain isn't in this image, so the
-    # ratio is against that published-ballpark figure (see BASELINE.md).
+    # Baseline: arkworks-rs (ark-ec, asm+rayon) G1 MSM at 2^20 is commonly
+    # reported around ~1 s on a whole multi-core x86 machine — i.e. ~1e6
+    # points/s MACHINE-level. The Rust toolchain isn't in this image, so
+    # vs_baseline is one-v5e-chip / one-CPU-machine against that ballpark
+    # (see BASELINE.md for the e2e comparison, where one chip proves a
+    # 2^20-constraint circuit in 8.6 s vs the 10-30 s range reported for
+    # arkworks-groth16 on 64-core machines).
     cpu_pts_per_sec = 1e6
 
     print(
