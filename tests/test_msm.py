@@ -76,3 +76,38 @@ def test_msm_g2_matches_reference():
     got = msm_ops.msm_g2(cj.encode_g2_affine(pts), scalars)
     want = rc.G2.msm(pts, scalars)
     assert got == want
+
+
+def test_msm_chunked_path_matches_unchunked():
+    """window_sums_impl with chunk_points < n (the 2^21+ memory-bounding
+    path: per-chunk sums + cross-chunk fold) must agree with one chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    n = 48
+    pts = _rand_g1(n)
+    pts[3] = None
+    scalars = [RNG.randrange(R_SCALAR) for _ in range(n)]
+    xs, ys = cj.encode_g1_affine(pts)
+    xs16 = jnp.asarray(xs).astype(jnp.uint16)
+    ys16 = jnp.asarray(ys).astype(jnp.uint16)
+    sc = jnp.asarray(fj.encode_plain(scalars, fj.FR))
+    w = 8
+
+    run = jax.jit(
+        msm_ops.window_sums_affine_impl, static_argnums=(0, 4, 5)
+    )
+    one = run(cj.FQ_ADAPTER, xs16, ys16, sc, w, msm_ops.CHUNK_POINTS)
+    # 16-point chunks: 3 chunks + padding of the last
+    chunked = run(cj.FQ_ADAPTER, xs16, ys16, sc, w, 16)
+    fa = _fold_windows_host_list(one, w)
+    fb = _fold_windows_host_list(chunked, w)
+    assert fa == fb == rc.G1.msm(pts, scalars)
+
+
+def _fold_windows_host_list(sums, w):
+    from circom_compat_tpu.ops.msm import _fold_windows_host
+
+    return _fold_windows_host(cj.decode_g1_proj(sums), rc.G1, w)
