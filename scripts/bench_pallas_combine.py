@@ -182,6 +182,49 @@ def stage_check(n=2048, window_bits=13):
     log(f"RESULT msm_check_n{n}_w{window_bits}: OK (device == refmath)")
 
 
+def stage_wmap(log_n=20):
+    """Witness-map transforms (6 NTTs + pointwise) at 2^log_n, limb-major
+    Pallas pipeline, with on-chip parity against the XLA path at 2^14."""
+    import random
+
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.ops import limbs as lc
+    from circom_compat_tpu.ops import ntt
+
+    RNG = random.Random(5)
+
+    def enc(vals):
+        import numpy as _np
+
+        return jnp.asarray(
+            _np.stack([lc.int_to_limbs((v << 256) % R_SCALAR) for v in vals])
+        )
+
+    n = 1 << 14
+    plan = ntt.get_plan(n)
+    a = enc([RNG.randrange(R_SCALAR) for _ in range(n)])
+    b = enc([RNG.randrange(R_SCALAR) for _ in range(n)])
+    got = np.asarray(jax.jit(lambda x, y: ntt._witness_map_transforms_lm(plan, x, y))(a, b))
+    c = fj.mont_mul(fj.FR, a, b)
+    ax = ntt.fft_impl(plan, ntt.coset_shift_impl(plan, ntt.ifft_impl(plan, a)))
+    bx = ntt.fft_impl(plan, ntt.coset_shift_impl(plan, ntt.ifft_impl(plan, b)))
+    cx = ntt.fft_impl(plan, ntt.coset_shift_impl(plan, ntt.ifft_impl(plan, c)))
+    want = np.asarray(fj.sub(fj.FR, fj.mont_mul(fj.FR, ax, bx), cx))
+    gi = [lc.limbs_to_int(r) % R_SCALAR for r in got]
+    wi = [lc.limbs_to_int(r) % R_SCALAR for r in want]
+    assert gi == wi, "witness-map transforms parity FAILED on chip"
+    log("RESULT wmap_parity_2^14: OK")
+
+    n = 1 << log_n
+    plan = ntt.get_plan(n)
+    seed = enc([RNG.randrange(R_SCALAR) for _ in range(4096)])
+    big_a = jnp.tile(seed, (n // 4096, 1))
+    big_b = jnp.tile(seed[::-1], (n // 4096, 1))
+    f = jax.jit(lambda x, y: ntt._witness_map_transforms_lm(plan, x, y))
+    t = time_steady(f, big_a, big_b)
+    log(f"RESULT wmap_transforms_2^{log_n}: {t:.3f} s")
+
+
 def stage_e2e():
     """Steady-state prove core on the cached complex-circuit zkey."""
     import pathlib
@@ -228,6 +271,7 @@ def main():
         "check": stage_check,
         "e2e": stage_e2e,
         "g2msm": stage_g2msm,
+        "wmap": stage_wmap,
     }
     for s in stages:
         dispatch[s]()
