@@ -1,48 +1,147 @@
 """Benchmark driver: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline metric (per BASELINE.json): G1 MSM points/sec/chip. Runs on
-whatever jax.devices() offers (real TPU under the driver; CPU locally with
-JAX_PLATFORMS=cpu). Size defaults to 2^16 to keep runtime sane and scales
-with --log-n.
+Headline metric (per BASELINE.json): G1 MSM points/sec/chip at 2^20.
 
-vs_baseline: ratio against a single-core CPU Pippenger estimate measured
-in-process (refmath, Python ints) on a small slice and extrapolated
-O(n / log n)-naively — honest placeholder until the arkworks criterion
-numbers are regenerated (see BASELINE.md).
+Robustness contract (VERDICT round 1, item 1): this script ALWAYS emits
+exactly one parseable JSON line on stdout and exits 0, no matter what the
+backend does. The axon TPU tunnel's failure mode is an indefinite HANG
+(not an exception), so the measurement runs in a child process under a
+hard timeout; the parent re-emits the child's JSON line, or a JSON record
+with an "error" field if the child crashed, hung, or printed garbage.
+
+Reference analogue: the criterion harness that always produces a number
+(reference: benches/groth16.rs:52-84).
+
+vs_baseline: ratio against the arkworks-machine ballpark recorded in
+BASELINE.md (see --help for the per-metric definition).
 """
 
 import argparse
 import json
-import random
+import os
+import subprocess
+import sys
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-def run_e2e(args):
-    """Steady-state prove of the 10^4-constraint fixture (see
-    scripts/e2e_complex.py for the full pipeline incl. setup + witness)."""
-    import pathlib
+
+# ---------------------------------------------------------------------------
+# child: the actual measurement (may hang/crash; parent guards it)
+# ---------------------------------------------------------------------------
+
+def _enable_cache(force_cpu=False):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+    if force_cpu:
+        # env JAX_PLATFORMS is overridden by the axon sitecustomize; the
+        # config knob is the only reliable switch (tests/conftest.py does the
+        # same).
+        jax.config.update("jax_platforms", "cpu")
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def child_msm(args):
+    import random
+
+    import jax
+
+    _enable_cache(force_cpu=args.cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.ops import curve_jax as cj
+    from circom_compat_tpu.ops import field_jax as fj
+    from circom_compat_tpu.ops import msm as msm_ops
+    from circom_compat_tpu.refmath import curve as rc
+
+    backend = jax.default_backend()
+    n = 1 << args.log_n
+    window_bits = args.window_bits or (
+        msm_ops.pick_window_bits(n) if backend != "cpu" else 8
+    )
+    rng = random.Random(1)
+
+    # Bases: random multiples of the generator (bases only need to be valid
+    # curve points); tiled host-side to size n.
+    base = rc.g1_generator()
+    seed_pts = [rc.G1.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
+    xs0, ys0 = cj.encode_g1_affine(seed_pts)
+    reps = n // 256
+    xs = np.tile(xs0, (reps, 1)).astype(np.uint16)
+    ys = np.tile(ys0, (reps, 1)).astype(np.uint16)
+    scalars = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
+
+    xs16, ys16, sc = jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(scalars)
+    run = jax.jit(msm_ops.window_sums_affine_impl, static_argnums=(0, 4))
+
+    # Compile once; np.asarray forces full materialization (block_until_ready
+    # proved unreliable through the remote-TPU tunnel).
+    sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, window_bits)
+    _ = [np.asarray(c) for c in sums]
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, window_bits)
+        _ = [np.asarray(c) for c in sums]
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    pts_per_sec = n / best
+
+    # Baseline: arkworks-rs (ark-ec, asm+rayon) G1 MSM at 2^20 ~1e6 points/s
+    # machine-level (BASELINE.md). The measured native same-machine baseline
+    # (scripts/bench_cpu_baseline.py) is substituted when its cache exists.
+    cpu_pts_per_sec = _cpu_baseline_pts_per_sec()
+    print(json.dumps({
+        "metric": f"g1_msm_points_per_sec_per_chip_2^{args.log_n}",
+        "value": round(pts_per_sec, 2),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / cpu_pts_per_sec, 4),
+        "backend": backend,
+        "window_bits": window_bits,
+    }))
+
+
+def _cpu_baseline_pts_per_sec() -> float:
+    """Measured same-machine CPU Pippenger baseline if cached, else the
+    arkworks ballpark from BASELINE.md."""
+    cache = os.path.join(REPO, ".cache", "cpu_msm_baseline.json")
+    try:
+        with open(cache) as f:
+            rec = json.load(f)
+        v = float(rec["points_per_sec"])
+        if v > 0:
+            return v
+    except Exception:
+        pass
+    return 1e6
+
+
+def child_e2e(args):
+    import pathlib
+
+    import jax
+
+    _enable_cache(force_cpu=args.cpu)
+    import jax.numpy as jnp
+    import numpy as np
 
     from circom_compat_tpu import read_zkey
     from circom_compat_tpu.models import groth16_jax as gj
     from circom_compat_tpu.ops import field_jax as fj
 
-    zkey = pathlib.Path("/root/repo/.cache/complex-circuit-10000-10000.zkey")
+    zkey = pathlib.Path(REPO) / ".cache" / "complex-circuit-10000-10000.zkey"
     if not zkey.exists():
-        import subprocess, sys
-
         subprocess.run(
-            [sys.executable, "scripts/e2e_complex.py", "--backend", "host",
-             "--cpu"],
+            [sys.executable, os.path.join(REPO, "scripts", "e2e_complex.py"),
+             "--backend", "host", "--cpu"],
             check=False, capture_output=True, timeout=540,
         )
     pk, matrices = read_zkey(zkey)
@@ -64,8 +163,84 @@ def run_e2e(args):
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(2.0 / best, 4),
+        "backend": jax.default_backend(),
     }))
-    return None
+
+
+# ---------------------------------------------------------------------------
+# parent: guard + guaranteed JSON
+# ---------------------------------------------------------------------------
+
+def run_guarded(args, argv):
+    metric = (
+        "e2e_prove_core_complex_10000_steady_state"
+        if args.e2e
+        else f"g1_msm_points_per_sec_per_chip_2^{args.log_n}"
+    )
+    unit = "s" if args.e2e else "points/s"
+
+    def emit_error(msg, stderr_tail=""):
+        rec = {
+            "metric": metric,
+            "value": None,
+            "unit": unit,
+            "vs_baseline": None,
+            "error": (msg + ((" | stderr: " + stderr_tail) if stderr_tail else ""))[:2000],
+        }
+        print(json.dumps(rec))
+
+    # Fast backend probe: the axon tunnel's failure mode is an indefinite
+    # in-process hang at backend init, so probe it in a short-lived child
+    # before committing to the long measurement timeout.
+    if not args.cpu:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=args.probe_timeout,
+                cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            emit_error(
+                f"accelerator backend unavailable: jax.devices() did not "
+                f"respond within {args.probe_timeout}s (axon tunnel down)")
+            return
+        if probe.returncode != 0:
+            tail = (probe.stderr or "").strip().splitlines()[-4:]
+            emit_error("accelerator backend failed to initialize",
+                       " / ".join(t.strip() for t in tail))
+            return
+
+    cmd = [sys.executable, "-u", os.path.abspath(__file__), "--child"] + argv
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=args.timeout, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        emit_error(f"measurement timed out after {args.timeout}s "
+                   "(axon TPU tunnel hang is the known failure mode)")
+        return
+    except Exception as e:  # noqa: BLE001 — contract: always emit JSON
+        emit_error(f"failed to launch measurement child: {e!r}")
+        return
+
+    line = None
+    for cand in reversed((proc.stdout or "").strip().splitlines()):
+        cand = cand.strip()
+        if cand.startswith("{") and cand.endswith("}"):
+            try:
+                json.loads(cand)
+                line = cand
+                break
+            except ValueError:
+                continue
+    if line is not None:
+        print(line)
+        return
+    tail = (proc.stderr or "").strip().splitlines()[-8:]
+    emit_error(
+        f"child exited rc={proc.returncode} without a JSON line",
+        " / ".join(t.strip() for t in tail),
+    )
 
 
 def main():
@@ -74,87 +249,53 @@ def main():
     ap.add_argument("--window-bits", type=int, default=0,
                     help="0 = auto (ops/msm.pick_window_bits)")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument(
-        "--e2e", action="store_true",
-        help="measure steady-state end-to-end prove of the cached "
-             "complex-circuit dev zkey instead of the raw MSM",
-    )
-    args = ap.parse_args()
+    ap.add_argument("--e2e", action="store_true",
+                    help="measure steady-state end-to-end prove of the cached "
+                         "complex-circuit dev zkey instead of the raw MSM")
+    ap.add_argument("--timeout", type=float, default=900.0,
+                    help="hard wall-clock cap on the measurement child")
+    ap.add_argument("--probe-timeout", type=float, default=150.0,
+                    help="cap on the jax.devices() liveness probe")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (local testing)")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    args, _ = ap.parse_known_args()
 
-    if args.e2e:
-        return run_e2e(args)
+    if args.child:
+        # inside the guarded child: run the real measurement
+        if args.e2e:
+            child_e2e(args)
+        else:
+            child_msm(args)
+        return
 
-    import jax
-    import jax.numpy as jnp
+    argv = [a for a in sys.argv[1:] if a != "--child"]
+    run_guarded(args, argv)
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
-    from circom_compat_tpu.constants import R_SCALAR
-    from circom_compat_tpu.ops import curve_jax as cj
-    from circom_compat_tpu.ops import field_jax as fj
-    from circom_compat_tpu.ops import msm as msm_ops
-    from circom_compat_tpu.refmath import curve as rc
-
-    n = 1 << args.log_n
-    if not args.window_bits:
-        args.window_bits = msm_ops.pick_window_bits(n) if jax.default_backend() != "cpu" else 8
-    rng = random.Random(1)
-
-    # Bases: random multiples of the generator, generated cheaply on device
-    # by doubling a seed batch (bases only need to be valid curve points).
-    base = rc.g1_generator()
-    seed_pts = [rc.G1.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
-    xs0, ys0 = cj.encode_g1_affine(seed_pts)
-    reps = n // 256
-    import numpy as np
-
-    xs = np.tile(xs0, (reps, 1))
-    ys = np.tile(ys0, (reps, 1))
-    scalars = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
-
-    xs16 = jnp.asarray(xs.astype(np.uint16))
-    ys16 = jnp.asarray(ys.astype(np.uint16))
-    sc = jnp.asarray(scalars)
-    run = jax.jit(msm_ops.window_sums_affine_impl, static_argnums=(0, 4))
-
-    # Compile once; np.asarray forces full materialization (block_until_ready
-    # proved unreliable through the remote-TPU tunnel).
-    sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, args.window_bits)
-    _ = [np.asarray(c) for c in sums]
-
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, args.window_bits)
-        _ = [np.asarray(c) for c in sums]
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    pts_per_sec = n / best
-
-    # Baseline: arkworks-rs (ark-ec, asm+rayon) G1 MSM at 2^20 is commonly
-    # reported around ~1 s on a whole multi-core x86 machine — i.e. ~1e6
-    # points/s MACHINE-level. The Rust toolchain isn't in this image, so
-    # vs_baseline is one-v5e-chip / one-CPU-machine against that ballpark
-    # (see BASELINE.md for the e2e comparison, where one chip proves a
-    # 2^20-constraint circuit in 8.6 s vs the 10-30 s range reported for
-    # arkworks-groth16 on 64-core machines).
-    cpu_pts_per_sec = 1e6
-
-    print(
-        json.dumps(
-            {
-                "metric": f"g1_msm_points_per_sec_per_chip_2^{args.log_n}",
-                "value": round(pts_per_sec, 2),
-                "unit": "points/s",
-                "vs_baseline": round(pts_per_sec / cpu_pts_per_sec, 4),
-            }
-        )
-    )
+def _emit_last_resort(reason: str) -> None:
+    print(json.dumps({
+        "metric": "g1_msm_points_per_sec_per_chip",
+        "value": None,
+        "unit": "points/s",
+        "vs_baseline": None,
+        "error": ("bench.py internal error: " + reason)[:1500],
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()  # child reports failures via rc/stderr; the parent guards it
+    else:
+        # parent contract: exactly one JSON line on stdout, rc=0, always
+        try:
+            main()
+        except SystemExit as e:
+            if e.code not in (0, None):
+                _emit_last_resort(f"SystemExit({e.code}) before measurement")
+        except BaseException:
+            import traceback
+
+            _emit_last_resort(
+                traceback.format_exc(limit=3).replace("\n", " | "))
+        sys.exit(0)

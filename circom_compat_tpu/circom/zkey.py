@@ -403,6 +403,16 @@ class BinFile:
 
         max_constraint = int(entries["constraint"].max()) if num_coeffs else 0
         num_constraints = max_constraint - header.n_public
+        if num_coeffs == 0 or num_constraints < 0:
+            # snarkjs always emits the public-input A-identity rows after the
+            # real constraints, so max_constraint >= n_public in any valid
+            # key; a negative count would silently mis-size every downstream
+            # array (ADVICE r1).
+            raise ZKeyParseError(
+                f"section 4 is degenerate: {num_coeffs} coefficients, "
+                f"max constraint index {max_constraint}, "
+                f"n_public {header.n_public}"
+            )
 
         # Strip ONE Montgomery factor now (raw = v*R^2 -> keep v*R for the
         # device's Montgomery-domain kernels; canonical strip is lazy).
@@ -500,12 +510,20 @@ def verify_mpc_chain(pk: ProvingKey) -> bool:
       - every contribution point is on its curve and in the right subgroup;
       - each contributor key is internally consistent:
         e(g1_sx, g2) == e(g1_s, g2_spx)  (same secret s scales both);
+      - DELTA LINKAGE: each deltaAfter_i really is deltaAfter_{i-1} * s_i,
+        via e(deltaAfter_i, g2_gen) == e(deltaAfter_{i-1}, g2_spx_i), with
+        deltaAfter_0 = the G1 generator (the pre-ceremony delta). Without
+        this, a file could record contributions that never produced the
+        final delta and still "verify" (ADVICE r1, medium).
       - the final deltaAfter equals the proving key's delta_g1.
 
-    Full snarkjs `zkey verify` additionally recomputes the transcript hash
-    chain against the ptau file; that transcript (blake2b over the whole
-    key history) requires the original ptau and is out of scope — the
-    reference itself performs NO section-10 processing at all.
+    This matches snarkjs `zkey verify`'s per-link algebra for keys whose
+    contributor base is the G2 generator (this library's contribute()).
+    snarkjs itself binds g2_spx to a hash-to-G2 of its transcript; that
+    variant is checked when the recorded transcript reproduces the hash
+    chain (see contribute.py). Full snarkjs verification additionally
+    recomputes against the original ptau file, which is out of scope — the
+    reference performs NO section-10 processing at all.
     """
     from ..refmath import curve as rc
     from ..refmath import pairing as rp
@@ -513,17 +531,24 @@ def verify_mpc_chain(pk: ProvingKey) -> bool:
     mpc = pk.mpc
     if mpc is None or not mpc.contributions:
         return True
+    g2_gen = rc.g2_generator()
+    delta_prev = rc.g1_generator()
     for c in mpc.contributions:
         for p in (c.delta_after, c.g1_s, c.g1_sx):
             if p is not None and not rc.g1_in_correct_subgroup(p):
                 return False
         if c.g2_spx is not None and not rc.g2_in_correct_subgroup(c.g2_spx):
             return False
-        # e(g1_sx, g2_gen) == e(g1_s, g2_spx)
-        lhs = rp.pairing(rc.g2_generator(), c.g1_sx)
+        # contributor key knows s: e(g1_sx, g2_gen) == e(g1_s, g2_spx)
+        lhs = rp.pairing(g2_gen, c.g1_sx)
         rhs = rp.pairing(c.g2_spx, c.g1_s)
         if lhs != rhs:
             return False
+        # the SAME s links the deltas:
+        # e(deltaAfter_i, g2_gen) == e(deltaAfter_{i-1}, g2_spx_i)
+        if rp.pairing(g2_gen, c.delta_after) != rp.pairing(c.g2_spx, delta_prev):
+            return False
+        delta_prev = c.delta_after
     return mpc.contributions[-1].delta_after == pk.delta_g1
 
 

@@ -25,6 +25,8 @@ import json
 import sys
 from typing import List
 
+from .utils import paths
+
 
 def _fmt_g1(p) -> List[str]:
     if p is None:
@@ -194,6 +196,12 @@ def cmd_contribute(args) -> int:
     write_zkey(args.zkey_out, pk2, matrices.a, matrices.b, matrices.num_constraints)
     n = len(pk2.mpc.contributions)
     print(f"contribution #{n} applied; wrote {args.zkey_out}")
+    print(
+        "note: contributor keys use the generator-based binding "
+        "(g2_spx = G2*s); `verify-chain` fully validates them, but snarkjs' "
+        "own `zkey verify` binds g2_spx to a hash-to-G2 of its transcript "
+        "and will reject this chain (see circom/contribute.py)."
+    )
     return 0
 
 
@@ -207,6 +215,13 @@ def cmd_verify_chain(args) -> int:
     print(
         f"{n} contribution(s): " + ("chain OK" if ok else "chain INVALID")
     )
+    if ok and n:
+        print(
+            "note: checked contributor-key consistency + per-link delta "
+            "pairings from the G1 generator; ptau/transcript validation "
+            "(snarkjs `zkey verify` vs the ceremony's powers-of-tau) is "
+            "out of scope without the original ptau file."
+        )
     return 0 if ok else 1
 
 
@@ -296,7 +311,7 @@ def main(argv=None) -> int:
     vo.add_argument("proof")
     vo.add_argument(
         "--artifact",
-        default="/root/reference/tests/verifier_artifact.json",
+        default=str(paths.verifier_artifact()),
         help="solc/hardhat artifact with deployedBytecode",
     )
     vo.set_defaults(fn=cmd_verify_onchain)

@@ -22,18 +22,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: the limb-arithmetic graphs are large and
-# recompiling them every pytest run dominates wall-clock.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pathlib
 
 import pytest
 
-REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
-TEST_VECTORS = pathlib.Path("/root/reference/test-vectors")
+from circom_compat_tpu.utils import paths
+
+# Persistent compile cache: the limb-arithmetic graphs are large and
+# recompiling them every pytest run dominates wall-clock.
+paths.enable_compile_cache()
+
+REPO_ROOT = paths.repo_root()
+TEST_VECTORS = paths.test_vectors()
 
 
 @pytest.fixture(scope="session")

@@ -20,7 +20,9 @@ pytestmark = pytest.mark.skipif(
     not aot.aot_available(), reason="AOT toolchain unavailable"
 )
 
-COMPLEX = "/root/reference/test-vectors/complex-circuit"
+from circom_compat_tpu.utils import paths
+
+COMPLEX = str(paths.test_vectors() / "complex-circuit")
 
 
 def test_aot_engine_selected(test_vectors):

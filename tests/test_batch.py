@@ -13,7 +13,9 @@ from circom_compat_tpu.models import Groth16
 from circom_compat_tpu.models.batch import BatchProver
 from circom_compat_tpu.models.groth16_jax import DeviceProvingKey
 
-TV = pathlib.Path("/root/reference/test-vectors")
+from circom_compat_tpu.utils import paths
+
+TV = paths.test_vectors()
 
 
 def test_batch_matches_single_shot_and_verifies():

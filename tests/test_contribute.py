@@ -70,6 +70,26 @@ def test_tampered_chain_detected(zkey):
     assert not verify_mpc_chain(pk2)
 
 
+def test_unlinked_delta_detected(zkey):
+    """A contribution whose key is internally consistent but whose secret
+    did NOT produce delta_after must fail (ADVICE r1: the delta linkage
+    e(deltaAfter_i, g2) == e(deltaAfter_{i-1}, g2_spx_i))."""
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.refmath import curve as rc
+
+    pk, _ = zkey
+    pk2 = contribute(pk, entropy=b"victim")
+    c = pk2.mpc.contributions[-1]
+    # forge a fresh, self-consistent key with a DIFFERENT secret
+    s_forge = 0xF00D % R_SCALAR
+    c.g1_s = rc.G1.mul(rc.g1_generator(), 7)
+    c.g1_sx = rc.G1.mul(c.g1_s, s_forge)
+    c.g2_spx = rc.G2.mul(rc.g2_generator(), s_forge)
+    # delta_after still equals pk2.delta_g1 (final-delta check passes) and
+    # the key's internal pairing passes — only the linkage catches it
+    assert not verify_mpc_chain(pk2)
+
+
 def test_writer_roundtrip_with_contributions(zkey):
     pk, matrices = zkey
     pk2 = contribute(pk, entropy=b"roundtrip", name="alice")

@@ -20,8 +20,10 @@ from circom_compat_tpu.evm import (
 )
 from circom_compat_tpu.models import Groth16
 
-TV = pathlib.Path("/root/reference/test-vectors")
-ARTIFACT = "/root/reference/tests/verifier_artifact.json"
+from circom_compat_tpu.utils import paths
+
+TV = paths.test_vectors()
+ARTIFACT = str(paths.verifier_artifact())
 
 
 def test_keccak256_vectors():
