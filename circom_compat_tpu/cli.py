@@ -45,6 +45,10 @@ def _parse_g1(v):
     x, y, z = (int(c) for c in v)
     if z == 0:
         return None
+    if z != 1:
+        # snarkjs emits affine points (z == 1); any other z would silently
+        # alias a different point if read as affine
+        raise ValueError(f"G1 point has non-affine z = {z}")
     return (x, y)
 
 
@@ -52,6 +56,8 @@ def _parse_g2(v):
     (x0, x1), (y0, y1), (z0, z1) = ((int(a), int(b)) for a, b in v)
     if z0 == 0 and z1 == 0:
         return None
+    if (z0, z1) != (1, 0):
+        raise ValueError(f"G2 point has non-affine z = ({z0}, {z1})")
     return ((x0, x1), (y0, y1))
 
 
@@ -225,6 +231,30 @@ def cmd_verify_chain(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_dist_dryrun(args) -> int:
+    """Multi-process SPMD prove over a jax.distributed coordination service
+    (the Rayon-replacement's missing half, SURVEY §7 step 8)."""
+    import json
+
+    from .parallel.multihost import dist_dryrun
+
+    rec = dist_dryrun(
+        num_processes=args.processes,
+        local_devices=args.local_devices,
+        chain_k=args.chain_k,
+        two_level=args.two_level,
+        timeout=args.timeout,
+    )
+    print(json.dumps({
+        "ok": True,
+        "processes": rec["processes"],
+        "devices": rec["devices"],
+        "mesh": rec["mesh"],
+        "proof_matches_host": True,
+    }))
+    return 0
+
+
 def cmd_verify_onchain(args) -> int:
     """Run the compiled Solidity Groth16 verifier on the in-process EVM
     (evm.py) against a proof — the reference's tests/solidity.rs flow
@@ -315,6 +345,20 @@ def main(argv=None) -> int:
         help="solc/hardhat artifact with deployedBytecode",
     )
     vo.set_defaults(fn=cmd_verify_onchain)
+
+    dd = sub.add_parser(
+        "dist-dryrun",
+        help="multi-process (multi-host analogue) prove on localhost CPU "
+             "processes, cross-checked bit-exact vs the host prover",
+    )
+    dd.add_argument("--processes", type=int, default=2)
+    dd.add_argument("--local-devices", type=int, default=2)
+    dd.add_argument("--chain-k", type=int, default=62,
+                    help="squaring-chain constraints (domain = k + 2)")
+    dd.add_argument("--two-level", action="store_true",
+                    help="use the (dcn, shards) two-level mesh")
+    dd.add_argument("--timeout", type=float, default=900.0)
+    dd.set_defaults(fn=cmd_dist_dryrun)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -20,9 +20,67 @@ from typing import List, Optional, Sequence, Tuple
 
 from ..circom import qap
 from ..circom.zkey import ConstraintMatrices, ProvingKey, VerifyingKey
-from ..constants import R_SCALAR
+from ..constants import Q, R_SCALAR
 from ..refmath import curve, pairing
 from ..refmath.field import FQ12
+
+
+# ------------------------------------------------------------- point checks
+#
+# The reference gets these for free from ark-serialize's checked
+# deserialization (reference: Cargo.toml:32; infinity conventions
+# src/zkey.rs:340-360). Proof/VK points arriving from JSON or foreign
+# zkeys must be range-checked, on-curve and (for G2) in the r-torsion
+# subgroup: a non-subgroup B point is the classic proof-malleability
+# footgun, and out-of-range coordinates would alias another point once
+# reduced mod q.
+
+
+def _fq_ok(v) -> bool:
+    return isinstance(v, int) and 0 <= v < Q
+
+
+def validate_g1(p) -> bool:
+    """None (infinity) or an affine on-curve BN254 G1 point with canonical
+    coordinates. G1's cofactor is 1, so on-curve implies correct subgroup."""
+    if p is None:
+        return True
+    if not (isinstance(p, (tuple, list)) and len(p) == 2):
+        return False
+    x, y = p
+    return _fq_ok(x) and _fq_ok(y) and curve.G1.is_on_curve((x, y))
+
+
+def validate_g2(p) -> bool:
+    """None (infinity) or an affine G2 point with canonical Fq2 coordinates,
+    on-curve AND in the order-r subgroup (G2's cofactor is large)."""
+    if p is None:
+        return True
+    try:
+        (x0, x1), (y0, y1) = p
+    except (TypeError, ValueError):
+        return False
+    if not all(_fq_ok(v) for v in (x0, x1, y0, y1)):
+        return False
+    return curve.g2_in_correct_subgroup(((x0, x1), (y0, y1)))
+
+
+def validate_proof(proof: "Proof") -> bool:
+    return (
+        validate_g1(proof.a) and validate_g2(proof.b) and validate_g1(proof.c)
+    )
+
+
+def validate_vk(vk: VerifyingKey) -> None:
+    """Raise ValueError on any malformed verifying-key point."""
+    if not validate_g1(vk.alpha_g1):
+        raise ValueError("vk.alpha_g1 is not a valid G1 point")
+    for name in ("beta_g2", "gamma_g2", "delta_g2"):
+        if not validate_g2(getattr(vk, name)):
+            raise ValueError(f"vk.{name} is not a valid G2 point")
+    for i, p in enumerate(vk.gamma_abc_g1):
+        if not validate_g1(p):
+            raise ValueError(f"vk.gamma_abc_g1[{i}] is not a valid G1 point")
 
 
 @dataclass
@@ -105,6 +163,7 @@ class Groth16:
 
     @staticmethod
     def process_vk(vk: VerifyingKey) -> PreparedVerifyingKey:
+        validate_vk(vk)
         alpha_beta = pairing.pairing(vk.beta_g2, vk.alpha_g1)
         return PreparedVerifyingKey(
             vk=vk,
@@ -117,7 +176,13 @@ class Groth16:
     def verify_with_processed_vk(
         pvk: PreparedVerifyingKey, public_inputs: Sequence[int], proof: Proof
     ) -> bool:
-        """e(A,B) =? e(alpha,beta) * e(L_pub, gamma) * e(C, delta)."""
+        """e(A,B) =? e(alpha,beta) * e(L_pub, gamma) * e(C, delta).
+
+        Malformed proof points (off-curve, wrong subgroup, non-canonical
+        coordinates) are rejected up front — garbage must produce a clean
+        False, not an undefined pairing value."""
+        if not validate_proof(proof):
+            return False
         ic = pvk.vk.gamma_abc_g1
         if len(public_inputs) + 1 != len(ic):
             raise ValueError("public input length mismatch")

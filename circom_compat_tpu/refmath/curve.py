@@ -68,7 +68,14 @@ class _CurveOps:
         return (x3, y3)
 
     def mul(self, p, k: int):
-        k %= R_SCALAR
+        # NOTE: k is NOT reduced mod r here. For subgroup points that would
+        # be harmless, but points of larger order (e.g. subgroup-membership
+        # checks multiplying a candidate by r itself) would silently become
+        # p*0 — which made g2_in_correct_subgroup vacuously true (round-2
+        # bug fix, caught by test_wrong_subgroup_g2_rejected).
+        if k < 0:
+            p = self.neg(p)
+            k = -k
         result = None
         addend = p
         while k:

@@ -37,6 +37,25 @@ REPO_ROOT = paths.repo_root()
 TEST_VECTORS = paths.test_vectors()
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full tier; default is the <5 min smoke tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r1 item 8): the default run skips @slow tests
+    and finishes in minutes; `--runslow` (or RUN_SLOW=1) runs everything.
+    Every subsystem keeps at least one fast test in the smoke tier."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def test_vectors() -> pathlib.Path:
     return TEST_VECTORS

@@ -6,6 +6,7 @@ determinism rule the reference exercises via explicit r,s in
 src/zkey.rs:875-919).
 """
 
+import pytest
 import pathlib
 
 from circom_compat_tpu import read_zkey
@@ -18,6 +19,7 @@ from circom_compat_tpu.utils import paths
 TV = paths.test_vectors()
 
 
+@pytest.mark.slow
 def test_batch_matches_single_shot_and_verifies():
     pk, matrices = read_zkey(TV / "test.zkey")
     dpk = DeviceProvingKey.build(pk, matrices, matrices.num_constraints)
@@ -40,6 +42,7 @@ def test_batch_matches_single_shot_and_verifies():
         assert res.proof == host
 
 
+@pytest.mark.slow
 def test_batch_random_rs_unique():
     pk, matrices = read_zkey(TV / "test.zkey")
     dpk = DeviceProvingKey.build(pk, matrices, matrices.num_constraints)

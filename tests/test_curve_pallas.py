@@ -9,6 +9,7 @@ compute the RCB complete projective group law; points here are encoded
 with affine_to_proj and decoded with decode_g*_proj.
 """
 
+import pytest
 import random
 
 import jax
@@ -54,6 +55,7 @@ def test_g1_pallas_add_general_and_edges():
     assert got == want
 
 
+@pytest.mark.slow
 def test_g2_pallas_add_general_and_edges():
     pts = _rand_g2(4)
     p_list = [pts[0], pts[2], None, pts[3], pts[1]]
@@ -150,6 +152,7 @@ def test_tile_scan_kernel_g1_general_projective():
     assert cj.decode_g1_proj(carry) == want_carry
 
 
+@pytest.mark.slow
 def test_tile_scan_kernel_g2():
     T, K = 2, 8
     n = T * K

@@ -118,7 +118,9 @@ def test_fr_tile_scan_segment_sums():
 import pytest
 
 
-@pytest.mark.parametrize("n", [1024, 4096])
+@pytest.mark.parametrize(
+    "n", [1024, pytest.param(4096, marks=pytest.mark.slow)]
+)
 def test_witness_map_transforms_lm_parity(n, monkeypatch):
     """The limb-major Pallas pipeline (flat DIF/DIT at 1024, four-step at
     4096 via a lowered threshold — interpret mode does not enforce

@@ -19,6 +19,7 @@ def witness(test_vectors):
     return wc.calculate_witness({"a": 3, "b": 11})
 
 
+@pytest.mark.slow
 def test_jax_prove_bit_exact_vs_host(zkey, witness):
     pk, matrices = zkey
     args = (
@@ -30,6 +31,7 @@ def test_jax_prove_bit_exact_vs_host(zkey, witness):
     assert jax_proof == host_proof
 
 
+@pytest.mark.slow
 def test_jax_prove_verifies(zkey, witness):
     pk, matrices = zkey
     proof = Groth16.create_proof_with_reduction_and_matrices(

@@ -1,5 +1,6 @@
 """MSM parity tests: device Pippenger vs refmath naive MSM."""
 
+import pytest
 import random
 
 from circom_compat_tpu.constants import R_SCALAR
@@ -40,6 +41,7 @@ def test_msm_g1_window_bits_invariance():
     )
 
 
+@pytest.mark.slow
 def test_msm_g1_signed_digits_match_unsigned():
     """Signed-window recoding (negated points, halved buckets, unsigned top
     window) must agree with the plain form — incl. digits that force carries
@@ -68,6 +70,7 @@ def test_msm_g1_signed_digits_match_unsigned():
         assert fa == fb == rc.G1.msm(pts, scalars)
 
 
+@pytest.mark.slow
 def test_msm_g2_matches_reference():
     n = 9
     pts = [rc.G2.mul(rc.g2_generator(), RNG.randrange(1, 1 << 62)) for _ in range(n)]
@@ -78,6 +81,7 @@ def test_msm_g2_matches_reference():
     assert got == want
 
 
+@pytest.mark.slow
 def test_msm_chunked_path_matches_unchunked():
     """window_sums_impl with chunk_points < n (the 2^21+ memory-bounding
     path: per-chunk sums + cross-chunk fold) must agree with one chunk."""

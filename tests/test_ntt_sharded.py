@@ -43,6 +43,7 @@ def test_dist_fft_parity(mesh):
     assert got_back == vals
 
 
+@pytest.mark.slow
 def test_dist_witness_map_parity(mesh):
     from circom_compat_tpu.circom import qap
     from circom_compat_tpu.ops import ntt

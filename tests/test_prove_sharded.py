@@ -34,6 +34,7 @@ class _Rows:
 
 
 @pytest.mark.parametrize("dist_ntt", [False, True], ids=["replicated", "dist-ntt"])
+@pytest.mark.slow
 def test_sharded_prove_bit_exact(setup_chain, dist_ntt):
     from circom_compat_tpu.parallel.mesh import make_mesh
     from circom_compat_tpu.parallel.prove_sharded import (

@@ -32,6 +32,7 @@ def test_setup_prove_verify_host(circuit, params):
     assert Groth16.verify_proof(params.vk, proof, circuit.get_public_inputs())
 
 
+@pytest.mark.slow
 def test_setup_prove_verify_jax(circuit, params):
     proof = Groth16.prove(params, circuit, backend="jax")
     assert Groth16.verify_proof(params.vk, proof, circuit.get_public_inputs())
