@@ -57,6 +57,12 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64, ctypes.c_int,
             ]
+            lib.msm_g1_window_sums.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_uint64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_void_p, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -121,3 +127,80 @@ def mont_mul_const(values_u16: np.ndarray, c: int, p: int) -> Optional[np.ndarra
             c_arr, _p_limbs64(p), _np64(p), _nthreads(n),
         )
     return out
+
+
+def msm_g1_window_sums_native(
+    xs_u16: np.ndarray,
+    ys_u16: np.ndarray,
+    scalars_plain_u16: np.ndarray,
+    window_bits: int,
+    nthreads: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """Host Pippenger G1 window sums (the measured CPU baseline for
+    bench.py's vs_baseline; plays the role of ark-ec's parallel MSM,
+    reference: Cargo.toml:26).
+
+    xs/ys: (n, 16) uint16 affine Montgomery limbs (zkey storage layout,
+    all-zero row = infinity); scalars: (n, 16) uint16 plain canonical.
+    Returns (W, 3, 4) uint64 Jacobian Montgomery sums or None if the
+    native library is unavailable.
+    """
+    lib = _load_lib() if available() else None
+    if lib is None:
+        return None
+    from ..constants import Q
+
+    xs = np.ascontiguousarray(xs_u16, dtype="<u2")
+    ys = np.ascontiguousarray(ys_u16, dtype="<u2")
+    sc = np.ascontiguousarray(scalars_plain_u16, dtype="<u2")
+    n = xs.shape[0]
+    w_count = -(-254 // window_bits)
+    out = np.zeros((w_count, 3, 4), dtype="<u8")
+    one_mont = (1 << 256) % Q
+    one_arr = (ctypes.c_uint64 * 4)(
+        *[(one_mont >> (64 * i)) & ((1 << 64) - 1) for i in range(4)]
+    )
+    if n:
+        lib.msm_g1_window_sums(
+            xs.ctypes.data, ys.ctypes.data, sc.ctypes.data, n,
+            int(window_bits), _p_limbs64(Q), _np64(Q), one_arr,
+            out.ctypes.data, nthreads or (os.cpu_count() or 1),
+        )
+    return out
+
+
+def msm_g1_native(points_u16_xy, scalars, window_bits: int = 13,
+                  nthreads: Optional[int] = None):
+    """Full host MSM: native window sums + exact Horner fold. Returns an
+    affine (x, y) int pair or None (infinity / library unavailable)."""
+    from ..constants import Q
+    from ..ops import limbs as limb_codec
+    from ..refmath import curve as rc
+
+    xs, ys = points_u16_xy
+    sc16 = limb_codec.ints_to_limbs(
+        [int(s) for s in scalars], dtype=np.uint16
+    )
+    sums = msm_g1_window_sums_native(xs, ys, sc16, window_bits, nthreads)
+    if sums is None:
+        return None
+    r_inv = pow(1 << 256, -1, Q)
+
+    def decode(jac_row):
+        X, Y, Z = (
+            int.from_bytes(np.ascontiguousarray(c).tobytes(), "little")
+            * r_inv % Q
+            for c in jac_row
+        )
+        if Z == 0:
+            return None
+        zi = pow(Z, -1, Q)
+        return (X * zi * zi % Q, Y * zi * zi % Q * zi % Q)
+
+    acc = None
+    for w in reversed(range(sums.shape[0])):
+        if acc is not None:
+            for _ in range(window_bits):
+                acc = rc.G1.double(acc)
+        acc = rc.G1.add(acc, decode(sums[w]))
+    return acc

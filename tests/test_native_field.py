@@ -56,3 +56,43 @@ def test_dispatcher_prefers_native_and_falls_back(monkeypatch):
     monkeypatch.setenv("CIRCOM_TPU_NATIVE", "0")
     via_numpy = lc.mont_strip(arr, R_SCALAR, NPRIME_R)
     assert np.array_equal(via_dispatch, via_numpy)
+
+
+def test_native_msm_window_sums_parity():
+    """Native Pippenger (field_ops.cpp msm_g1_window_sums, the bench.py CPU
+    baseline) vs the exact-int refmath MSM, incl. infinity rows and zero
+    scalars."""
+    import random
+
+    import numpy as np
+
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.ops import curve_jax as cj
+    from circom_compat_tpu.ops import native_field as nf
+    from circom_compat_tpu.refmath import curve as rc
+
+    if not nf.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(99)
+    n = 512
+    base = rc.g1_generator()
+    pts = [rc.G1.mul(base, rng.randrange(1, 1 << 60)) for _ in range(n)]
+    xs, ys = cj.encode_g1_affine(pts)
+    xs = np.asarray(xs, np.uint16)
+    ys = np.asarray(ys, np.uint16)
+    xs[3] = 0
+    ys[3] = 0  # infinity row (zkey convention)
+    scalars = [rng.randrange(R_SCALAR) for _ in range(n)]
+    scalars[7] = 0
+
+    for wb in (8, 13):
+        got = nf.msm_g1_native((xs, ys), scalars, window_bits=wb)
+        want = None
+        for i, (p, s) in enumerate(zip(pts, scalars)):
+            if i == 3:
+                continue
+            want = rc.G1.add(want, rc.G1.mul(p, s))
+        assert got == want
