@@ -101,7 +101,21 @@ def main():
     ap.add_argument("--log-domain", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument(
+        "--streamed", type=int, default=0, metavar="CHUNK_POINTS",
+        help="prove with host-resident query sections streamed to the "
+             "device in CHUNK_POINTS-point chunks (keys larger than HBM; "
+             "models/streamed.py). 0 = resident-key prover.",
+    )
+    ap.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force the jax platform (env JAX_PLATFORMS is fixed at "
+             "interpreter start in this image; use --platform cpu to "
+             "smoke-run when the TPU tunnel is down).",
+    )
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from circom_compat_tpu.models import Groth16
     from circom_compat_tpu.models import groth16_jax as gj
@@ -115,6 +129,47 @@ def main():
     t0 = time.time()
     assignment = witness_for(n_b, a=3)
     log(f"[witness] {len(assignment)} wires in {time.time()-t0:.1f}s")
+
+    if args.streamed:
+        from circom_compat_tpu.models.streamed import (
+            StreamedProvingKey,
+            prove_streamed,
+        )
+
+        t0 = time.time()
+        spk = StreamedProvingKey.build(
+            pk, matrices, matrices.num_constraints,
+            chunk_points=args.streamed,
+        )
+        log(f"[key] host-resident staging in {time.time()-t0:.1f}s "
+            f"(chunk = {args.streamed} points)")
+        r, s = 0x1234, 0x5678
+        log("[prove] streamed compile + first run ...")
+        t0 = time.time()
+        proof = prove_streamed(spk, r, s, assignment)
+        log(f"[prove] first call {time.time()-t0:.1f}s")
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            proof = prove_streamed(spk, r, s, assignment)
+            times.append(time.time() - t0)
+        best = min(times)
+        n = 1 << args.log_domain
+        log(f"RESULT e2e_prove_streamed_2^{args.log_domain}: {best:.2f} s "
+            f"steady-state ({n/best/1e3:.0f} k constraints/s)")
+        if not args.skip_verify:
+            pvk = Groth16.process_vk(pk.vk)
+            ok = Groth16.verify_with_processed_vk(
+                pvk, assignment[1 : matrices.num_instance_variables], proof
+            )
+            log(f"RESULT proof_verified: {ok}")
+            assert ok
+        print(json.dumps({
+            "metric": f"e2e_prove_streamed_2^{args.log_domain}_steady",
+            "value": round(best, 3),
+            "unit": "s",
+        }))
+        return
 
     t0 = time.time()
     dpk = gj.DeviceProvingKey.build(pk, matrices, matrices.num_constraints)
