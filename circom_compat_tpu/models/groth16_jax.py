@@ -199,7 +199,7 @@ def _device_arrays(dpk: DeviceProvingKey) -> dict:
                     else {
                         "tw_fwd_lm": jnp.asarray(plan.tw_fwd_lm),
                         "tw_inv_lm": jnp.asarray(plan.tw_inv_lm),
-                        "coset_bitrev_lm": jnp.asarray(plan.coset_bitrev_lm),
+                        "coset_inv_bitrev_lm": jnp.asarray(plan.coset_inv_bitrev_lm),
                     }
                 ),
             },
@@ -239,7 +239,7 @@ class _TracedNTTPlan:
         self.bitrev = tables["bitrev"]
         self.n_inv = tables["n_inv"]
         for key in (
-            "tw_fwd_lm", "tw_inv_lm", "coset_bitrev_lm",
+            "tw_fwd_lm", "tw_inv_lm", "coset_inv_bitrev_lm",
             "t3_fwd_lm", "t3_inv_lm", "coset4_lm",
             "tw1_fwd_lm", "tw1_inv_lm", "tw2_fwd_lm", "tw2_inv_lm",
         ):

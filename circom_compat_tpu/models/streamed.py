@@ -133,7 +133,7 @@ def _witness_arrays(spk: StreamedProvingKey) -> dict:
             "n_inv": jnp.asarray(plan.n_inv),
         }
         for key in (
-            "tw_fwd_lm", "tw_inv_lm", "coset_bitrev_lm",
+            "tw_fwd_lm", "tw_inv_lm", "coset_inv_bitrev_lm",
             "t3_fwd_lm", "t3_inv_lm", "coset4_lm",
             "tw1_fwd_lm", "tw1_inv_lm", "tw2_fwd_lm", "tw2_inv_lm",
         ):

@@ -303,8 +303,8 @@ def fr_sub_lm(a_lm, b_lm, block=LANE_BLOCK):
     return _bin_blocked("sub", a_lm, b_lm, min(block, m))
 
 
-def _ntt_low_kernel(n_stages: int, dif: bool, block: int):
-    """All NTT stages with length <= block, fused in ONE kernel.
+def _stage_loop(x, tw_ref, n_stages, dif, lane, p, p2, p2c):
+    """All NTT stages with length <= block over one VMEM-resident block.
 
     Butterfly partners sit within the same lane block, so each stage is a
     pair of lane-rolls + selects + one multiply — entirely in VMEM. The
@@ -312,37 +312,63 @@ def _ntt_low_kernel(n_stages: int, dif: bool, block: int):
     (same for every block: twiddles depend only on lane % half).
     DIT runs stages ascending (half = 1, 2, ..), DIF descending.
     """
+    order = range(n_stages) if not dif else range(n_stages - 1, -1, -1)
+    for s_i in order:
+        half = 1 << s_i
+        tw = tw_ref[s_i]
+        bit = (lane & np.uint32(half)) != 0
+        r1 = jnp.roll(x, half, axis=1)   # r1[l] = x[l - half]
+        r2 = jnp.roll(x, -half, axis=1)  # r2[l] = x[l + half]
+        if dif:
+            # u: x + r2 ; v: (r1 - x) * tw
+            t = flm.mont_mul_lazy(p, _NPRIME, tw, flm.sub_lazy(p2, p2c, r1, x))
+            x = jnp.where(bit, t, flm.add_lazy(p2c, x, r2))
+        else:
+            # u: x + tw*r2 ; v: r1 - tw*x
+            m_in = jnp.where(bit, x, r2)
+            t = flm.mont_mul_lazy(p, _NPRIME, tw, m_in)
+            x = jnp.where(
+                bit, flm.sub_lazy(p2, p2c, r1, t), flm.add_lazy(p2c, x, t)
+            )
+    return x
 
-    def kernel(consts, x_ref, tw_ref, o_ref):
+
+def _ntt_low_kernel(n_stages: int, dif: bool, block: int,
+                    has_pre: bool = False, post_op: str | None = None):
+    """Fused low-stage NTT kernel with optional elementwise pre-multiply
+    and post-multiply/subtract riding the same VMEM residency (the
+    standalone coset/t3/ab/sub passes each cost a full HBM read+write)."""
+
+    def kernel(consts, x_ref, tw_ref, *rest):
         p, pc, p2, p2c = _cols(consts, block)
         lane = jax.lax.broadcasted_iota(jnp.uint32, (16, block), 1)
         x = x_ref[:]
-        order = range(n_stages) if not dif else range(n_stages - 1, -1, -1)
-        for s_i in order:
-            half = 1 << s_i
-            tw = tw_ref[s_i]
-            bit = (lane & np.uint32(half)) != 0
-            r1 = jnp.roll(x, half, axis=1)   # r1[l] = x[l - half]
-            r2 = jnp.roll(x, -half, axis=1)  # r2[l] = x[l + half]
-            if dif:
-                # u: x + r2 ; v: (r1 - x) * tw
-                t = flm.mont_mul_lazy(p, _NPRIME, tw, flm.sub_lazy(p2, p2c, r1, x))
-                x = jnp.where(bit, t, flm.add_lazy(p2c, x, r2))
-            else:
-                # u: x + tw*r2 ; v: r1 - tw*x
-                m_in = jnp.where(bit, x, r2)
-                t = flm.mont_mul_lazy(p, _NPRIME, tw, m_in)
-                x = jnp.where(
-                    bit, flm.sub_lazy(p2, p2c, r1, t), flm.add_lazy(p2c, x, t)
-                )
-        o_ref[:] = x
+        i = 0
+        if has_pre:
+            x = flm.mont_mul_lazy(p, _NPRIME, rest[i][:], x)
+            i += 1
+        x = _stage_loop(x, tw_ref, n_stages, dif, lane, p, p2, p2c)
+        if post_op == "mul":
+            x = flm.mont_mul_lazy(p, _NPRIME, rest[i][:], x)
+            i += 1
+        elif post_op == "sub":
+            # post - x (the witness map's final ab - c)
+            x = flm.sub_lazy(p2, p2c, rest[i][:], x)
+            i += 1
+        rest[i][:] = x
 
     return kernel
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def ntt_low_stages_lm(x_lm, tw_stack, n_stages, dif, block=LANE_BLOCK):
-    """x_lm (16, M); tw_stack (n_stages, 16, block) per-stage lane twiddles."""
+@partial(jax.jit, static_argnames=("n_stages", "dif", "block", "post_op"))
+def ntt_low_stages_lm(x_lm, tw_stack, n_stages, dif, block=LANE_BLOCK,
+                      pre_lm=None, post_lm=None, post_op="mul"):
+    """x_lm (16, M); tw_stack (n_stages, 16, block) per-stage lane twiddles.
+
+    pre_lm: optional (16, M) elementwise Montgomery multiplier applied to
+    the input before stage 0; post_lm: applied to the output after the
+    last stage (post_op="mul"), or subtracted FROM (post_op="sub":
+    out = post - x)."""
     m = x_lm.shape[-1]
     block = min(block, m)
     bs = pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -350,14 +376,67 @@ def ntt_low_stages_lm(x_lm, tw_stack, n_stages, dif, block=LANE_BLOCK):
         (n_stages, 16, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     bs_c = pl.BlockSpec((16, 5), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [bs_c, bs, bs_tw]
+    operands = [jnp.asarray(FR_CONSTS_LM), x_lm, tw_stack]
+    if pre_lm is not None:
+        in_specs.append(bs)
+        operands.append(pre_lm)
+    if post_lm is not None:
+        in_specs.append(bs)
+        operands.append(post_lm)
     return pl.pallas_call(
-        _ntt_low_kernel(n_stages, dif, block),
+        _ntt_low_kernel(n_stages, dif, block, pre_lm is not None,
+                        post_op if post_lm is not None else None),
         grid=(m // block,),
-        in_specs=[bs_c, bs, bs_tw],
+        in_specs=in_specs,
         out_specs=bs,
         out_shape=jax.ShapeDtypeStruct((16, m), jnp.uint32),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(FR_CONSTS_LM), x_lm, tw_stack)
+    )(*operands)
+
+
+def _ntt_mid_kernel(n_inv_stages: int, n_fwd_stages: int, block: int):
+    """Four-step middle kernel: the tail iNTT stages, the coset multiply,
+    and the head forward-NTT stages of the witness map's iFFT->coset->FFT
+    composition share one VMEM residency (they operate in the same
+    pi-order layout with no transpose between them)."""
+
+    def kernel(consts, x_ref, twi_ref, twf_ref, mid_ref, o_ref):
+        p, pc, p2, p2c = _cols(consts, block)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (16, block), 1)
+        x = x_ref[:]
+        x = _stage_loop(x, twi_ref, n_inv_stages, True, lane, p, p2, p2c)
+        x = flm.mont_mul_lazy(p, _NPRIME, mid_ref[:], x)
+        x = _stage_loop(x, twf_ref, n_fwd_stages, False, lane, p, p2, p2c)
+        o_ref[:] = x
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_inv_stages", "n_fwd_stages", "block"))
+def ntt_mid_stages_lm(x_lm, twi_stack, twf_stack, mid_lm,
+                      n_inv_stages, n_fwd_stages, block):
+    """Inverse low stages -> elementwise multiply by mid_lm -> forward low
+    stages, all in one kernel. x_lm (16, M); stacks (n_stages, 16, block);
+    mid_lm (16, M)."""
+    m = x_lm.shape[-1]
+    block = min(block, m)
+    bs = pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bs_twi = pl.BlockSpec(
+        (n_inv_stages, 16, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_twf = pl.BlockSpec(
+        (n_fwd_stages, 16, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_c = pl.BlockSpec((16, 5), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ntt_mid_kernel(n_inv_stages, n_fwd_stages, block),
+        grid=(m // block,),
+        in_specs=[bs_c, bs, bs_twi, bs_twf, bs],
+        out_specs=bs,
+        out_shape=jax.ShapeDtypeStruct((16, m), jnp.uint32),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray(FR_CONSTS_LM), x_lm, twi_stack, twf_stack, mid_lm)
 
 
 def fr_mul_const_lm(c16, x_lm, block=LANE_BLOCK):

@@ -100,6 +100,16 @@ class NTTPlan:
     def coset_bitrev_lm(self):
         return np.ascontiguousarray(self.coset[self.bitrev].T)
 
+    @property
+    def coset_inv_bitrev_lm(self):
+        """Bitrev-permuted coset table with the iFFT's 1/n scale folded in.
+        The flat witness-map path multiplies this into DIF output (which is
+        bit-reversed and still lacks the n_inv factor) inside the adjacent
+        fused DIT kernel — no standalone n_inv/coset passes."""
+        root_2n = fr_root_of_unity(2 * self.n)
+        tbl = _power_table(root_2n, self.n, scale=pow(self.n, -1, R_SCALAR))
+        return np.ascontiguousarray(tbl[self.bitrev].T)
+
     # ---- single-chip four-step tables (limb-major) -----------------------
     # n = n1*n2; the iFFT runs F = [T; DIF rows n1; TW; T; DIF rows n2]
     # (natural in, pi out with pi(a, b) -> coeff rev1(a) + n1*rev2(b)); the
@@ -269,18 +279,23 @@ def _low_tw_stack(table_lm, n: int, n_low: int, block: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
-def ntt_lm_dit(x_lm: jnp.ndarray, table_lm, n: int, log_n: int) -> jnp.ndarray:
+def ntt_lm_dit(
+    x_lm: jnp.ndarray, table_lm, n: int, log_n: int, pre_lm=None
+) -> jnp.ndarray:
     """(16, n) limb-major DIT butterflies: bit-reversed input -> natural.
 
     Stages with length <= LOW_BLOCK run fused in ONE kernel (lane-roll
     pairing in VMEM, field_pallas.ntt_low_stages_lm); the remaining high
-    stages are one butterfly kernel each over sliced halves."""
+    stages are one butterfly kernel each over sliced halves. pre_lm: an
+    optional (16, n) elementwise Montgomery multiplier fused into the
+    first kernel (the witness map's coset table rides here)."""
     from . import field_pallas as fp
 
     block = min(LOW_BLOCK, n)
     n_low = min(log_n, block.bit_length() - 1)
     tw_stack = _low_tw_stack(table_lm, n, n_low, block)
-    x_lm = fp.ntt_low_stages_lm(x_lm, tw_stack, n_low, False, block)
+    x_lm = fp.ntt_low_stages_lm(x_lm, tw_stack, n_low, False, block,
+                                pre_lm=pre_lm)
     for s in range(n_low, log_n):
         half = 1 << s
         u, v = _stage_slices(x_lm, n, half)
@@ -402,75 +417,81 @@ def witness_map(
     return fj.sub(FR, ab, c)
 
 
-def _ifft4_lm(plan, x_lm, tw1_stack, tw2_stack, t3_inv):
-    """Four-step iFFT: (16, n) natural evals -> pi-ordered coeffs (lazy);
-    the 1/n scale rides the t3_inv table."""
-    from . import field_pallas as fp
-
-    n, n1, n2 = plan.n, plan.n1, plan.n2
-    x = jnp.swapaxes(x_lm.reshape(16, n1, n2), 1, 2).reshape(16, n)
-    x = fp.ntt_low_stages_lm(x, tw1_stack, n1.bit_length() - 1, True, n1)
-    x = fp.fr_mul_lm(x, t3_inv)
-    x = jnp.swapaxes(x.reshape(16, n2, n1), 1, 2).reshape(16, n)
-    # n_inv is folded into the t3_inv table (see NTTPlan._t3)
-    return fp.ntt_low_stages_lm(x, tw2_stack, n2.bit_length() - 1, True, n2)
-
-
-def _fft4_lm(plan, y_lm, tw1_stack, tw2_stack, t3_fwd):
-    """Four-step FFT, the transpose chain: pi-ordered coeffs -> natural
-    evals (see NTTPlan four-step notes)."""
-    from . import field_pallas as fp
-
-    n, n1, n2 = plan.n, plan.n1, plan.n2
-    y = fp.ntt_low_stages_lm(y_lm, tw2_stack, n2.bit_length() - 1, False, n2)
-    y = jnp.swapaxes(y.reshape(16, n1, n2), 1, 2).reshape(16, n)
-    y = fp.fr_mul_lm(y, t3_fwd)
-    y = fp.ntt_low_stages_lm(y, tw1_stack, n1.bit_length() - 1, False, n1)
-    return jnp.swapaxes(y.reshape(16, n2, n1), 1, 2).reshape(16, n)
-
-
 def _witness_map_transforms_lm(plan, a, b):
     """The 6-transform + pointwise tail of the witness map, limb-major on
-    Pallas. Domains >= FOUR_STEP_MIN use the four-step factorization
-    (every NTT stage lives in a fused row kernel; two lane transposes per
-    transform); smaller domains use the flat DIF/DIT chain. Output is lazy
-    [0, 2p)."""
+    Pallas. Domains >= FOUR_STEP_MIN use the four-step factorization with
+    every pointwise pass fused into an adjacent row kernel:
+
+      - c = a∘b rides the first iNTT kernel of the c chain (pre-multiply),
+      - t3_inv (with 1/n folded) rides the n1 iNTT kernel (post-multiply),
+      - the tail n2 iNTT stages + coset multiply + head n2 NTT stages
+        share ONE kernel (they sit in the same pi-order layout),
+      - t3_fwd rides the final n1 NTT kernel (pre-multiply),
+      - ab = a∘b rides the b chain's final kernel (post-multiply), and
+        ab - c rides the c chain's final kernel (post-subtract),
+
+    so each transform is 3 row kernels + 3 lane transposes and the whole
+    map issues ONE final transpose — no standalone pointwise passes.
+    Smaller domains use the flat DIF/DIT chain with the n_inv-folded coset
+    table fused into the first DIT kernel. Output is lazy [0, 2p)."""
     from . import field_pallas as fp
 
     n, log_n = plan.n, plan.log_n
     a_lm = a.T
     b_lm = b.T
-    c_lm = fp.fr_mul_lm(a_lm, b_lm)
 
     if n >= FOUR_STEP_MIN:
-        from . import field_pallas as fp2
-
         n1, n2 = plan.n1, plan.n2
-        tw1i = _low_tw_stack(jnp.asarray(plan.tw1_inv_lm), n1, n1.bit_length() - 1, n1)
-        tw2i = _low_tw_stack(jnp.asarray(plan.tw2_inv_lm), n2, n2.bit_length() - 1, n2)
-        tw1f = _low_tw_stack(jnp.asarray(plan.tw1_fwd_lm), n1, n1.bit_length() - 1, n1)
-        tw2f = _low_tw_stack(jnp.asarray(plan.tw2_fwd_lm), n2, n2.bit_length() - 1, n2)
+        log1, log2 = n1.bit_length() - 1, n2.bit_length() - 1
+        tw1i = _low_tw_stack(jnp.asarray(plan.tw1_inv_lm), n1, log1, n1)
+        tw2i = _low_tw_stack(jnp.asarray(plan.tw2_inv_lm), n2, log2, n2)
+        tw1f = _low_tw_stack(jnp.asarray(plan.tw1_fwd_lm), n1, log1, n1)
+        tw2f = _low_tw_stack(jnp.asarray(plan.tw2_fwd_lm), n2, log2, n2)
         t3i = jnp.asarray(plan.t3_inv_lm)
         t3f = jnp.asarray(plan.t3_fwd_lm)
         coset4 = jnp.asarray(plan.coset4_lm)
 
-        def ifft_coset_fft(x_lm):
-            x_lm = _ifft4_lm(plan, x_lm, tw1i, tw2i, t3i)
-            x_lm = fp.fr_mul_lm(x_lm, coset4)
-            return _fft4_lm(plan, x_lm, tw1f, tw2f, t3f)
+        def t_n1major(x):  # natural -> n1-fastest (iFFT entry / FFT mid)
+            return jnp.swapaxes(x.reshape(16, n1, n2), 1, 2).reshape(16, n)
 
-    else:
-        tw_inv_lm = jnp.asarray(plan.tw_inv_lm)
-        tw_fwd_lm = jnp.asarray(plan.tw_fwd_lm)
-        coset_lm = jnp.asarray(plan.coset_bitrev_lm)
-        n_inv = jnp.asarray(plan.n_inv)
+        def t_n2major(x):  # n1-fastest -> n2-fastest (iFFT mid / FFT exit)
+            return jnp.swapaxes(x.reshape(16, n2, n1), 1, 2).reshape(16, n)
 
-        def ifft_coset_fft(x_lm):
-            x_lm = ntt_lm_dif(x_lm, tw_inv_lm, n, log_n)  # bitrev coeffs
-            x_lm = fp.fr_mul_const_lm(n_inv, x_lm)
-            x_lm = fp.fr_mul_lm(x_lm, coset_lm)  # coset in bitrev order
-            return ntt_lm_dit(x_lm, tw_fwd_lm, n, log_n)  # natural evals
+        aT = t_n1major(a_lm)
+        bT = t_n1major(b_lm)
 
+        def half_chain(xT, pre0=None):
+            # iFFT rows(n1) [+ c-formation pre, + t3_inv post] -> transpose
+            # -> [iFFT rows(n2) + coset + FFT rows(n2)] -> transpose;
+            # result awaits the final rows(n1) FFT kernel.
+            x = fp.ntt_low_stages_lm(xT, tw1i, log1, True, n1,
+                                     pre_lm=pre0, post_lm=t3i)
+            x = t_n2major(x)
+            x = fp.ntt_mid_stages_lm(x, tw2i, tw2f, coset4, log2, log2, n2)
+            return t_n1major(x)
+
+        a5 = half_chain(aT)
+        b5 = half_chain(bT)
+        c5 = half_chain(bT, pre0=aT)  # transpose(c) = transpose(a)∘transpose(b)
+
+        a6 = fp.ntt_low_stages_lm(a5, tw1f, log1, False, n1, pre_lm=t3f)
+        ab6 = fp.ntt_low_stages_lm(b5, tw1f, log1, False, n1,
+                                   pre_lm=t3f, post_lm=a6)
+        res = fp.ntt_low_stages_lm(c5, tw1f, log1, False, n1,
+                                   pre_lm=t3f, post_lm=ab6, post_op="sub")
+        # lazy [0, 2p); consumers canonicalize (fr_from_mont)
+        return t_n2major(res).T
+
+    tw_inv_lm = jnp.asarray(plan.tw_inv_lm)
+    tw_fwd_lm = jnp.asarray(plan.tw_fwd_lm)
+    coset_inv_lm = jnp.asarray(plan.coset_inv_bitrev_lm)
+
+    def ifft_coset_fft(x_lm):
+        x_lm = ntt_lm_dif(x_lm, tw_inv_lm, n, log_n)  # bitrev coeffs
+        # n_inv + coset (bitrev order) fused into the first DIT kernel
+        return ntt_lm_dit(x_lm, tw_fwd_lm, n, log_n, pre_lm=coset_inv_lm)
+
+    c_lm = fp.fr_mul_lm(a_lm, b_lm)
     a_lm = ifft_coset_fft(a_lm)
     b_lm = ifft_coset_fft(b_lm)
     ab_lm = fp.fr_mul_lm(a_lm, b_lm)
