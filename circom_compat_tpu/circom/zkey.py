@@ -559,17 +559,20 @@ def read_zkey(path_or_reader, use_mmap: bool = True) -> Tuple[ProvingKey, Constr
     Paths are memory-mapped by default: the bulk query/coefficient sections
     become zero-copy numpy views that page in lazily (the mapping outlives
     the file handle via the arrays' .base reference)."""
-    if hasattr(path_or_reader, "read"):
-        binfile = BinFile(path_or_reader)
-        return binfile.proving_key(), binfile.matrices()
-    if use_mmap:
-        import mmap as _mmap
+    from ..utils import trace
 
+    with trace.stage("zkey.load"):
+        if hasattr(path_or_reader, "read"):
+            binfile = BinFile(path_or_reader)
+            return binfile.proving_key(), binfile.matrices()
+        if use_mmap:
+            import mmap as _mmap
+
+            with open(path_or_reader, "rb") as fh:
+                mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+            binfile = BinFile(mm, buffer=mm)
+            return binfile.proving_key(), binfile.matrices()
         with open(path_or_reader, "rb") as fh:
-            mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
-        binfile = BinFile(mm, buffer=mm)
+            data = fh.read()
+        binfile = BinFile(io.BytesIO(data))
         return binfile.proving_key(), binfile.matrices()
-    with open(path_or_reader, "rb") as fh:
-        data = fh.read()
-    binfile = BinFile(io.BytesIO(data))
-    return binfile.proving_key(), binfile.matrices()

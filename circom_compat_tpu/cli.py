@@ -288,6 +288,11 @@ def cmd_verify_onchain(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="circom_compat_tpu")
+    ap.add_argument(
+        "--timings", action="store_true",
+        help="print a per-stage wall-clock table to stderr when the "
+             "command finishes (utils/trace.py)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     w = sub.add_parser("witness", help="run the WASM witness generator")
@@ -361,6 +366,14 @@ def main(argv=None) -> int:
     dd.set_defaults(fn=cmd_dist_dryrun)
 
     args = ap.parse_args(argv)
+    if args.timings:
+        from .utils import trace
+
+        with trace.collect() as tr:
+            rc = args.fn(args)
+        print("--- stage timings ---", file=sys.stderr)
+        print(tr.table(), file=sys.stderr)
+        return rc
     return args.fn(args)
 
 

@@ -125,11 +125,17 @@ class Groth16:
             return groth16_jax.prove(
                 pk, r, s, matrices, num_inputs, num_constraints, full_assignment
             )
+        from ..utils import trace
 
-        h = qap.witness_map_from_matrices(
-            matrices.a, matrices.b, num_inputs, num_constraints, full_assignment
-        )
-        return _assemble_proof_host(pk, r, s, full_assignment, h, num_inputs)
+        with trace.stage("prove.witness_map"):
+            h = qap.witness_map_from_matrices(
+                matrices.a, matrices.b, num_inputs, num_constraints,
+                full_assignment,
+            )
+        with trace.stage("prove.msm+assemble"):
+            return _assemble_proof_host(
+                pk, r, s, full_assignment, h, num_inputs
+            )
 
     @staticmethod
     def prove(pk: ProvingKey, circuit, rng=None, backend: str = "host") -> Proof:
@@ -181,24 +187,29 @@ class Groth16:
         Malformed proof points (off-curve, wrong subgroup, non-canonical
         coordinates) are rejected up front — garbage must produce a clean
         False, not an undefined pairing value."""
-        if not validate_proof(proof):
-            return False
-        ic = pvk.vk.gamma_abc_g1
-        if len(public_inputs) + 1 != len(ic):
-            raise ValueError("public input length mismatch")
-        acc = ic[0]
-        for x, base in zip(public_inputs, ic[1:]):
-            acc = curve.G1.add(acc, curve.G1.mul(base, x % R_SCALAR))
-        # Single product of Miller loops with one final exponentiation:
-        # e(A,B) * e(acc, -gamma) * e(C, -delta) * e(alpha,beta)^-1 == 1
-        f = pairing.multi_pairing(
-            [
-                (proof.a, proof.b),
-                (acc, pvk.gamma_neg),
-                (proof.c, pvk.delta_neg),
-            ]
-        )
-        return f == pvk.alpha_beta
+        from ..utils import trace
+
+        with trace.stage("verify"):
+            if not validate_proof(proof):
+                return False
+            ic = pvk.vk.gamma_abc_g1
+            if len(public_inputs) + 1 != len(ic):
+                raise ValueError("public input length mismatch")
+            with trace.stage("ic_msm"):
+                acc = ic[0]
+                for x, base in zip(public_inputs, ic[1:]):
+                    acc = curve.G1.add(acc, curve.G1.mul(base, x % R_SCALAR))
+            # Single product of Miller loops with one final exponentiation:
+            # e(A,B) * e(acc, -gamma) * e(C, -delta) * e(alpha,beta)^-1 == 1
+            with trace.stage("pairing"):
+                f = pairing.multi_pairing(
+                    [
+                        (proof.a, proof.b),
+                        (acc, pvk.gamma_neg),
+                        (proof.c, pvk.delta_neg),
+                    ]
+                )
+            return f == pvk.alpha_beta
 
     @staticmethod
     def verify_proof(

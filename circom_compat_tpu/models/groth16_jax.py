@@ -81,6 +81,17 @@ class DeviceProvingKey:
     def build(
         pk: ProvingKey, matrices, num_constraints: int, num_inputs: Optional[int] = None
     ) -> "DeviceProvingKey":
+        from ..utils import trace
+
+        with trace.stage("key.stage"):
+            return DeviceProvingKey._build(
+                pk, matrices, num_constraints, num_inputs
+            )
+
+    @staticmethod
+    def _build(
+        pk: ProvingKey, matrices, num_constraints: int, num_inputs: Optional[int] = None
+    ) -> "DeviceProvingKey":
         if num_inputs is None:
             num_inputs = matrices.num_instance_variables
 
@@ -384,13 +395,23 @@ def prove_prepared(
     full_assignment: Sequence[int],
     window_bits: Optional[int] = None,
 ):
+    from ..utils import trace
+
     if window_bits is None:
         window_bits = default_window_bits(max(dpk.n_vars, dpk.domain_size))
-    assignment = [int(a) % R_SCALAR for a in full_assignment]
-    asg_plain = jnp.asarray(fj.encode_plain(assignment))
-    core = get_prove_core(dpk, window_bits)
-    g1_sums, g2_sums = core(asg_plain)
-    return assemble_proof(dpk, r, s, g1_sums, g2_sums, window_bits)
+    with trace.stage("prove.encode"):
+        assignment = [int(a) % R_SCALAR for a in full_assignment]
+        asg_plain = jnp.asarray(fj.encode_plain(assignment))
+    # jax dispatch is async: "device" includes the window-sum readback that
+    # forces the computation; "dispatch" is trace+enqueue only.
+    with trace.stage("prove.device"):
+        core = get_prove_core(dpk, window_bits)
+        with trace.stage("dispatch"):
+            g1_sums, g2_sums = core(asg_plain)
+        g1_sums = jax.tree_util.tree_map(np.asarray, g1_sums)
+        g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
+    with trace.stage("prove.assemble"):
+        return assemble_proof(dpk, r, s, g1_sums, g2_sums, window_bits)
 
 
 def prove(

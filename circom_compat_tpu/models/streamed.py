@@ -203,14 +203,20 @@ def prove_streamed(
         )
     chunk = min(spk.chunk_points, 1 << max(spk.n_vars - 1, 1).bit_length())
 
-    assignment = [int(a) % R_SCALAR for a in full_assignment]
-    asg_plain_np = np.asarray(fj.encode_plain(assignment))
+    from ..utils import trace
 
-    if "witness" not in spk._cache:
-        spk._cache["witness"] = _witness_jit(spk)
-    h_plain = np.asarray(
-        spk._cache["witness"](_witness_arrays(spk), jnp.asarray(asg_plain_np))
-    )
+    with trace.stage("prove.encode"):
+        assignment = [int(a) % R_SCALAR for a in full_assignment]
+        asg_plain_np = np.asarray(fj.encode_plain(assignment))
+
+    with trace.stage("prove.witness_map"):
+        if "witness" not in spk._cache:
+            spk._cache["witness"] = _witness_jit(spk)
+        h_plain = np.asarray(
+            spk._cache["witness"](
+                _witness_arrays(spk), jnp.asarray(asg_plain_np)
+            )
+        )
 
     g1_run, g2_run, acc_g1, acc_g2 = _chunk_jits(spk, window_bits)
 
@@ -221,11 +227,16 @@ def prove_streamed(
         h_plain,
     )
     g1_sums = []
-    for (xs_h, ys_h), sc_h in zip(spk.g1_sections, scalars):
+    for name, (xs_h, ys_h), sc_h in zip(
+        ("a", "b1", "l", "h"), spk.g1_sections, scalars
+    ):
         n = min(xs_h.shape[0], sc_h.shape[0])
-        g1_sums.append(
-            _stream_section(g1_run, acc_g1, xs_h[:n], ys_h[:n], sc_h[:n], chunk)
-        )
+        with trace.stage(f"prove.msm_{name}"):
+            g1_sums.append(
+                _stream_section(
+                    g1_run, acc_g1, xs_h[:n], ys_h[:n], sc_h[:n], chunk
+                )
+            )
     # stack to the (4, W, pt) layout assemble_proof expects
     g1_sums = jax.tree_util.tree_map(
         lambda *leaves: np.stack([np.asarray(x) for x in leaves]), *g1_sums
@@ -233,9 +244,11 @@ def prove_streamed(
 
     xs2, ys2 = spk.g2_section
     n2 = min(xs2.shape[0], asg_plain_np.shape[0])
-    g2_sums = _stream_section(
-        g2_run, acc_g2, xs2[:n2], ys2[:n2], asg_plain_np[:n2], chunk
-    )
-    g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
+    with trace.stage("prove.msm_b2"):
+        g2_sums = _stream_section(
+            g2_run, acc_g2, xs2[:n2], ys2[:n2], asg_plain_np[:n2], chunk
+        )
+        g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
 
-    return gj.assemble_proof(spk, r, s, g1_sums, g2_sums, window_bits)
+    with trace.stage("prove.assemble"):
+        return gj.assemble_proof(spk, r, s, g1_sums, g2_sums, window_bits)

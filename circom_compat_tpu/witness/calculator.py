@@ -153,9 +153,12 @@ class WitnessCalculator:
 
     def calculate_witness(self, inputs: Inputs, sanity_check: bool = False) -> List[int]:
         """Run the circuit; returns canonical field elements in [0, r)."""
-        if self.legacy:
-            return self._calculate_witness_legacy(inputs, sanity_check)
-        return self._calculate_witness_circom2(inputs, sanity_check)
+        from ..utils import trace
+
+        with trace.stage("witness.calculate"):
+            if self.legacy:
+                return self._calculate_witness_legacy(inputs, sanity_check)
+            return self._calculate_witness_circom2(inputs, sanity_check)
 
     # Alias matching the reference's F-typed variant
     # (negatives are normalized mod r, reference: witness_calculator.rs:164-179).
