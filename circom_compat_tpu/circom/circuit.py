@@ -10,7 +10,7 @@ circuit exposes the constraint check and matrix extraction directly.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from ..constants import R_SCALAR
 from .r1cs import R1CS

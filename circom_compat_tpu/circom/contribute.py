@@ -18,9 +18,24 @@ multiplications.
 Contributor-key convention: g1_s is a random G1 point, g1_sx = g1_s * s,
 g2_spx = G2_gen * s, which satisfies the standard knowledge check
 e(g1_sx, G2) == e(g1_s, g2_spx) (zkey.verify_mpc_chain). snarkjs binds
-g2_spx to the transcript via hash-to-G2 instead; matching that exact
-transcript derivation is only meaningful against snarkjs' own verifier
-and is documented as out of scope.
+g2_spx to the transcript via hash-to-G2 instead.
+
+Why snarkjs-exact transcripts are NOT implemented (documented
+impossibility for this environment): the binding is
+blake2b-512(csHash || hashPubKey(prior contributions) || g1_s || g1_sx)
+fed through ffjavascript's ChaCha-seeded G2.fromRng rejection sampler,
+whose byte-level behavior (point serialization variant used for hashing,
+Montgomery-vs-canonical sampling, sign-bit convention) is defined only by
+the ffjavascript implementation. This image has no snarkjs/ffjavascript
+and no network egress, the reference ships no fixture containing a
+contribution (test.zkey's section 10 is csHash + zero contributions), so
+an implementation-from-recall could neither be cross-checked nor
+regression-tested — a silently wrong "compatible" transcript is worse
+than an explicit local scheme. The section-10 WIRE format is
+snarkjs-exact (round-trips snarkjs files byte-for-byte); only the hash
+chain inside `transcript` and the g2_spx derivation are local, the CLI
+prints an interop warning, and verify_mpc_chain enforces the per-link
+delta pairing checks that do not depend on the transcript convention.
 """
 
 from __future__ import annotations

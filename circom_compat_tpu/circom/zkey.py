@@ -35,7 +35,7 @@ from typing import BinaryIO, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..constants import Q, R_SCALAR, MONT_R_INV_Q, MONT_R_INV_R, MONT_R_Q
+from ..constants import Q, R_SCALAR, MONT_R_INV_Q, MONT_R_INV_R
 from ..ops import limbs as limb_codec
 
 ZKEY_MAGIC = b"zkey"

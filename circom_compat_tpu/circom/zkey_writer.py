@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import BinaryIO, List, Sequence, Tuple
+from typing import BinaryIO, List, Tuple
 
 import numpy as np
 

@@ -22,7 +22,6 @@ from typing import Dict, Optional, Tuple
 
 from .constants import Q, R_SCALAR
 from .refmath import curve as rc
-from .refmath import field as rf
 
 U256 = 1 << 256
 MASK = U256 - 1

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 from ..circom import qap
 from ..circom.zkey import ConstraintMatrices, ProvingKey, VerifyingKey

@@ -19,17 +19,15 @@ produces, so both provers (host and device) consume them unchanged.
 
 from __future__ import annotations
 
-import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
 from ..circom import qap
 from ..circom.zkey import G1Section, G2Section, ProvingKey, VerifyingKey
-from ..constants import Q, R_SCALAR, fr_root_of_unity
+from ..constants import R_SCALAR, fr_root_of_unity
 from ..ops import curve_jax as cj
 from ..refmath import curve as rc
-from ..refmath import field as rf
 
 
 def _rand_fr(rng) -> int:

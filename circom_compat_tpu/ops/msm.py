@@ -17,14 +17,13 @@ inversion has to happen anyway.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import LIMB_BITS, NUM_LIMBS
+from ..constants import LIMB_BITS
 from . import curve_jax as cj
 from . import field_jax as fj
 from . import segments

@@ -16,7 +16,6 @@ Ground truth: refmath/poly.py + circom/qap.py; tests in tests/test_ntt.py.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,9 +24,8 @@ standalone shuffle pass ever runs on device.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -4,15 +4,21 @@ Verification is O(1) per proof, so it stays on the host (SURVEY.md section 7:
 "pairing can live host-side"). Replaces the reference's use of ark_ec pairing
 inside ark-groth16's verify (reference: src/zkey.rs:868-872).
 
-Implementation follows the classic bn128 construction: G2 points are
-untwisted into FQ12, Miller loop over ATE_LOOP_COUNT with affine line
-functions, two Frobenius-twisted extra lines, and a final exponentiation by
-(q^12 - 1) / r.
+Implementation follows the classic bn128 construction for the Miller
+loop: G2 points are untwisted into FQ12, affine line functions over
+ATE_LOOP_COUNT, two Frobenius-twisted extra lines. The final
+exponentiation is the BN cyclotomic decomposition — easy part
+(p^6-1)(p^2+1) then the Devegili–Scott–Dominguez hard-part addition
+chain for (p^4-p^2+1)/r with Frobenius maps evaluated as precomputed
+Fq-linear maps in the polynomial basis — ~300 FQ12 multiplications
+instead of a naive 3046-bit exponentiation (~15x faster verify).
 """
 
 from __future__ import annotations
 
-from ..constants import Q, R_SCALAR, ATE_LOOP_COUNT, LOG_ATE_LOOP_COUNT
+from functools import lru_cache
+
+from ..constants import BN_X, Q, R_SCALAR, ATE_LOOP_COUNT, LOG_ATE_LOOP_COUNT
 from .field import FQ12
 
 # w in FQ12
@@ -102,7 +108,79 @@ def miller_loop(q_twisted, p_cast) -> FQ12:
     return f
 
 
+# ---------------------------------------------------------------------------
+# Frobenius endomorphism and the decomposed final exponentiation
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def _frob1_rows():
+    """(w^p)^i for i in 0..11 as coefficient tuples: f -> f^p is Fq-linear
+    (Fq coefficients are Frobenius-fixed), so it is the linear extension
+    of w -> w^p. The one-time w**Q is a 254-bit FQ12 pow."""
+    v1 = _W ** Q
+    rows = [FQ12.one()]
+    for _ in range(11):
+        rows.append(rows[-1] * v1)
+    return tuple(r.coeffs for r in rows)
+
+
+def frobenius(f: FQ12, j: int = 1) -> FQ12:
+    """f^(p^j) via j applications of the precomputed linear map
+    (144 Fq multiplications each — vs a 254-bit pow)."""
+    rows = _frob1_rows()
+    for _ in range(j):
+        out = [0] * 12
+        for ci, row in zip(f.coeffs, rows):
+            if ci:
+                for k in range(12):
+                    if row[k]:
+                        out[k] += ci * row[k]
+        f = FQ12(out)
+    return f
+
+
 def final_exponentiate(f: FQ12) -> FQ12:
+    """f^((q^12-1)/r), decomposed.
+
+    Easy part (p^6-1)(p^2+1), then the Devegili–Scott–Dominguez addition
+    chain ("Implementing cryptographic pairings over Barreto–Naehrig
+    curves") whose exponent L satisfies
+    (p^6-1)(p^2+1) * L  ==  (q^12-1)/r   (mod q^12-1)
+    — an integer identity checked symbolically and cross-checked against
+    the naive exponentiation on random values in tests/test_pairing.py.
+    In the cyclotomic subgroup (post easy part) inversion is free:
+    m^-1 = m^(p^6) = frobenius(m, 6)."""
+    # easy: f^((p^6-1)(p^2+1))
+    m = frobenius(f, 6) * f.inv()  # ^(p^6 - 1)
+    m = frobenius(m, 2) * m  # ^(p^2 + 1)
+
+    def conj(a: FQ12) -> FQ12:  # cyclotomic inverse
+        return frobenius(a, 6)
+
+    fu = m**BN_X
+    fu2 = fu**BN_X
+    fu3 = fu2**BN_X
+    y0 = frobenius(m, 1) * frobenius(m, 2) * frobenius(m, 3)
+    y1 = conj(m)
+    y2 = frobenius(fu2, 2)
+    y3 = conj(frobenius(fu, 1))
+    y4 = conj(fu * frobenius(fu2, 1))
+    y5 = conj(fu2)
+    y6 = conj(fu3 * frobenius(fu3, 1))
+    t0 = y6 * y6 * y4 * y5
+    t1 = y3 * y5 * t0
+    t0 = t0 * y2
+    t1 = t1 * t1 * t0
+    t1 = t1 * t1
+    t0 = t1 * y1
+    t1 = t1 * y0
+    t0 = t0 * t0
+    return t0 * t1
+
+
+def final_exponentiate_naive(f: FQ12) -> FQ12:
+    """Ground truth: the direct 3046-bit exponentiation."""
     return f**FINAL_EXPONENT
 
 

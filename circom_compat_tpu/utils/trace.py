@@ -36,7 +36,7 @@ import os
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 logger = logging.getLogger("circom_compat_tpu.trace")
 

@@ -16,12 +16,12 @@ reference's Wasmer embedding.
 from __future__ import annotations
 
 import sys
-from typing import Dict, Iterable, List, Sequence, Tuple, Union
+from typing import Dict, Iterable, List, Sequence, Union
 
 from ..constants import R_SCALAR
 from .fnv import fnv
 from .memory import SafeMemory
-from .wasm.interp import Instance, Memory, WasmTrap, instantiate
+from .wasm.interp import Instance, Memory
 from .wasm.module import decode_module
 
 InputValue = Union[int, str]

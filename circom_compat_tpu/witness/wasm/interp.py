@@ -15,7 +15,7 @@ from __future__ import annotations
 import struct
 from typing import Callable, Dict, List, Optional, Tuple
 
-from .module import Module, decode_module, PAGE_SIZE, I32, I64, F32, F64
+from .module import Module, decode_module, PAGE_SIZE
 
 M32 = 0xFFFFFFFF
 M64 = 0xFFFFFFFFFFFFFFFF

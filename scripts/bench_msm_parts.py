@@ -20,7 +20,6 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from circom_compat_tpu.constants import R_SCALAR
 from circom_compat_tpu.ops import curve_jax as cj
 from circom_compat_tpu.ops import field_jax as fj
 from circom_compat_tpu.ops import msm as msm_ops

@@ -7,7 +7,6 @@ src/zkey.rs:875-919).
 """
 
 import pytest
-import pathlib
 
 from circom_compat_tpu import read_zkey
 from circom_compat_tpu.models import Groth16

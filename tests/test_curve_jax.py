@@ -5,8 +5,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import pytest
 
 from circom_compat_tpu.refmath import curve as rc
 from circom_compat_tpu.ops import curve_jax as cj

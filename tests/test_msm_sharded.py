@@ -2,7 +2,6 @@
 
 import random
 
-import pytest
 
 from circom_compat_tpu.constants import R_SCALAR
 from circom_compat_tpu.ops import curve_jax as cj

@@ -46,7 +46,6 @@ def test_dist_fft_parity(mesh):
 @pytest.mark.slow
 def test_dist_witness_map_parity(mesh):
     from circom_compat_tpu.circom import qap
-    from circom_compat_tpu.ops import ntt
 
     num_constraints, num_inputs, num_vars = 200, 3, 40
     # synthetic sparse system

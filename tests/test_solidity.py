@@ -5,7 +5,6 @@ deployedBytecode from tests/verifier_artifact.json runs on the in-process
 MiniEVM (circom_compat_tpu/evm.py) with refmath-backed BN254 precompiles.
 """
 
-import pathlib
 
 import pytest
 
