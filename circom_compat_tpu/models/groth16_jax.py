@@ -73,8 +73,9 @@ class DeviceProvingKey:
     g1_stack_x: jnp.ndarray
     g1_stack_y: jnp.ndarray
     g1_lengths: tuple  # true lengths (n_vars, n_vars, aux_len, h_len)
-    # G2 query (B2): ((n, 2, 16), (n, 2, 16))
+    # G2 query (B2): ((n_max, 2, 16), (n_max, 2, 16)), zero-padded
     b_g2_query: tuple
+    g2_len: int = 0  # true (unpadded) B2 section length
     _cache: dict = field(default_factory=dict, repr=False)
 
     @staticmethod
@@ -113,9 +114,14 @@ class DeviceProvingKey:
             xs[k, :n] = sec.limbs[:, 0]
             ys[k, :n] = sec.limbs[:, 1]
 
+        # G2 padded to the same n_max as the G1 stack (all-zero rows decode
+        # to infinity) so the B2 MSM can reuse the assignment's window sort.
         g2_src = pk.b_g2_query.limbs  # (n, 4, 16) uint16
-        g2_x = np.ascontiguousarray(g2_src[:, 0:2])
-        g2_y = np.ascontiguousarray(g2_src[:, 2:4])
+        n2 = g2_src.shape[0]
+        g2_x = np.zeros((n_max, 2, 16), np.uint16)
+        g2_y = np.zeros((n_max, 2, 16), np.uint16)
+        g2_x[:n2] = g2_src[:, 0:2]
+        g2_y[:n2] = g2_src[:, 2:4]
 
         ar, ac, av = _sorted_coo(matrices.a_rows, matrices.a_cols, matrices.a_values_mont)
         br, bc, bv = _sorted_coo(matrices.b_rows, matrices.b_cols, matrices.b_values_mont)
@@ -132,6 +138,7 @@ class DeviceProvingKey:
             g1_stack_y=jnp.asarray(ys),
             g1_lengths=lengths,
             b_g2_query=(jnp.asarray(g2_x), jnp.asarray(g2_y)),
+            g2_len=n2,
         )
 
     @staticmethod
@@ -278,6 +285,7 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
     domain_size = dpk.domain_size
     g1_lengths = dpk.g1_lengths
     aux_len = dpk.aux_len
+    g2_len = dpk.g2_len
 
     def core(arrays, asg_plain):
         plan_t = _TracedNTTPlan(domain_size, arrays["ntt"])
@@ -305,29 +313,65 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
             return jnp.pad(sc, ((0, n_max - sc.shape[0]), (0, 0)))
 
         la, lb1, ll, lh = g1_lengths
-        sc = jnp.stack(
-            [
-                fit(asg_plain, la),
-                fit(asg_plain, lb1),
-                fit(asg_plain[num_inputs : num_inputs + aux_len], ll),
-                fit(h_plain, lh),
-            ]
-        )
+        sc_a = fit(asg_plain, la)
+        sc_b1 = sc_a if lb1 == la else fit(asg_plain, lb1)
+        sc_l = fit(asg_plain[num_inputs : num_inputs + aux_len], ll)
+        sc_h = fit(h_plain, lh)
+        sc = jnp.stack([sc_a, sc_b1, sc_l, sc_h])
 
-        def g1_one(args):
-            xs, ys, s = args
-            # uint16 affine rows go straight into the per-window gathers
-            # (64 B/point); widen + projective encode happen post-gather
-            return msm_ops.window_sums_affine_impl(
-                cj.FQ_ADAPTER, xs, ys, s, window_bits
+        # A, B1 and B2 share the assignment scalars, so their per-window
+        # argsorts are identical: compute each distinct scalar set's sort
+        # ONCE (msm_ops.window_orders) and feed the sums precomputed
+        # (orders, keys). Chunked window sums re-index per chunk, so the
+        # sharing only applies when one chunk covers n_max.
+        share = n_max <= msm_ops.CHUNK_POINTS
+        if share:
+            oa, ka = msm_ops.window_orders(sc_a, window_bits)
+            ob1, kb1 = (
+                (oa, ka) if sc_b1 is sc_a
+                else msm_ops.window_orders(sc_b1, window_bits)
             )
+            ol, kl = msm_ops.window_orders(sc_l, window_bits)
+            oh, kh = msm_ops.window_orders(sc_h, window_bits)
+            orders = jnp.stack([oa, ob1, ol, oh])
+            keys = jnp.stack([ka, kb1, kl, kh])
 
-        g1_sums = jax.lax.map(g1_one, (arrays["g1_x"], arrays["g1_y"], sc))
+            def g1_one(args):
+                xs, ys, s, o, k = args
+                # uint16 affine rows go straight into the per-window
+                # gathers (64 B/point); widen + projective encode happen
+                # post-gather
+                return msm_ops.window_sums_affine_impl(
+                    cj.FQ_ADAPTER, xs, ys, s, window_bits, precomp=(o, k)
+                )
 
-        g2_sums = msm_ops.window_sums_affine_impl(
-            cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
-            asg_plain[: arrays["g2_x"].shape[0]], window_bits,
-        )
+            g1_sums = jax.lax.map(
+                g1_one, (arrays["g1_x"], arrays["g1_y"], sc, orders, keys)
+            )
+            if g2_len == la:
+                sc2, pre2 = sc_a, (oa, ka)
+            else:
+                sc2 = fit(asg_plain, g2_len)
+                pre2 = msm_ops.window_orders(sc2, window_bits)
+            g2_sums = msm_ops.window_sums_affine_impl(
+                cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
+                sc2, window_bits, precomp=pre2,
+            )
+        else:
+
+            def g1_one(args):
+                xs, ys, s = args
+                return msm_ops.window_sums_affine_impl(
+                    cj.FQ_ADAPTER, xs, ys, s, window_bits
+                )
+
+            g1_sums = jax.lax.map(
+                g1_one, (arrays["g1_x"], arrays["g1_y"], sc)
+            )
+            g2_sums = msm_ops.window_sums_affine_impl(
+                cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
+                fit(asg_plain, g2_len), window_bits,
+            )
         return g1_sums, g2_sums
 
     return core

@@ -115,3 +115,30 @@ def _fold_windows_host_list(sums, w):
     from circom_compat_tpu.ops.msm import _fold_windows_host
 
     return _fold_windows_host(cj.decode_g1_proj(sums), rc.G1, w)
+
+
+def test_msm_precomputed_orders_match_inline():
+    """window_orders precomp (sort shared across same-scalar MSMs) must be
+    bit-identical to the inline per-MSM sort path."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    n, w = 64, 8
+    pts = _rand_g1(n)
+    scalars = [RNG.randrange(R_SCALAR) for _ in range(n)]
+    xs, ys = cj.encode_g1_affine(pts)
+    xs16 = jnp.asarray(xs).astype(jnp.uint16)
+    ys16 = jnp.asarray(ys).astype(jnp.uint16)
+    sc = jnp.asarray(fj.encode_plain(scalars, fj.FR))
+
+    plain = msm_ops.window_sums_affine_impl(cj.FQ_ADAPTER, xs16, ys16, sc, w)
+    pre = msm_ops.window_orders(sc, w)
+    shared = msm_ops.window_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16, ys16, sc, w, precomp=pre
+    )
+    for a, b in zip(plain, shared):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert _fold_windows_host_list(shared, w) == rc.G1.msm(pts, scalars)
