@@ -147,6 +147,49 @@ class FQ12:
 
     __rmul__ = __mul__
 
+    @staticmethod
+    def _reduce(b: list) -> "FQ12":
+        """Reduce a degree-<23 coefficient list by w^12 = 18 w^6 - 82."""
+        for exp in range(22, 11, -1):
+            top = b[exp]
+            if top == 0:
+                continue
+            b[exp] = 0
+            base = exp - 12
+            for i, c in enumerate(FQ12_MODULUS_COEFFS):
+                if c:
+                    b[base + i] -= top * c
+        return FQ12(b[:12])
+
+    def square(self) -> "FQ12":
+        """Symmetric schoolbook square: ~half the coefficient products of
+        a general multiply (the Miller loop and final exponentiation are
+        squaring-dominated)."""
+        c = self.coeffs
+        b = [0] * 23
+        for i in range(12):
+            ci = c[i]
+            if ci == 0:
+                continue
+            b[2 * i] += ci * ci
+            for j in range(i + 1, 12):
+                if c[j]:
+                    b[i + j] += 2 * ci * c[j]
+        return self._reduce(b)
+
+    def mul_sparse(self, items) -> "FQ12":
+        """Multiply by a sparse operand given as [(w-power, Fq coeff), ...]
+        — a pairing line function has <=5 nonzero coefficients, so this is
+        12*len(items) products instead of 144."""
+        c = self.coeffs
+        b = [0] * 23
+        for idx, v in items:
+            if v:
+                for i, ci in enumerate(c):
+                    if ci:
+                        b[i + idx] += ci * v
+        return self._reduce(b)
+
     def inv(self) -> "FQ12":
         # Extended Euclid over Fq[w] against the modulus polynomial.
         lm, hm = [1] + [0] * 12, [0] * 13
@@ -179,7 +222,7 @@ class FQ12:
         while e:
             if e & 1:
                 result = result * base
-            base = base * base
+            base = base.square()
             e >>= 1
         return result
 

@@ -184,9 +184,133 @@ def final_exponentiate_naive(f: FQ12) -> FQ12:
     return f**FINAL_EXPONENT
 
 
+# ---------------------------------------------------------------------------
+# Fast Miller loop: twisted-point arithmetic on Fq2 components
+#
+# The twisted curve's points live in the (Fq2·w^2, Fq2·w^3) subspaces, so
+# the group law runs entirely on Fq2 pairs (slopes cost one Fq inversion
+# instead of an FQ12 extended-Euclid — the naive loop's dominant term) and
+# each line function is a 5-coefficient sparse FQ12 multiply. Identical
+# output to miller_loop(twist(q), cast_g1(p)) (tests/test_pairing_fast.py).
+# ---------------------------------------------------------------------------
+
+from .field import (  # noqa: E402  (grouped with their use site)
+    fq2_inv,
+    fq2_mul,
+    fq2_mul_scalar,
+    fq2_neg,
+    fq2_square,
+    fq2_sub,
+)
+
+
+def _fq12_from_fq2(e, k: int) -> FQ12:
+    """E(e)·w^k for e = (e0, e1) in Fq2, matching twist()'s embedding:
+    positions k and k+6 carry (e0 - 9·e1, e1)."""
+    coeffs = [0] * 12
+    coeffs[k] = (e[0] - 9 * e[1]) % Q
+    coeffs[k + 6] = e[1]
+    return FQ12(coeffs)
+
+
+def _fq2_from_fq12(f: FQ12, k: int):
+    """Inverse of _fq12_from_fq2 for values supported on {k, k+6}."""
+    e1 = f.coeffs[k + 6]
+    return ((f.coeffs[k] + 9 * e1) % Q, e1)
+
+
+def _frob_twisted(pt, j: int):
+    """pi^j on a twisted point held as Fq2 components: embed, apply the
+    linear Frobenius map, decompose (the w^2/w^3 subspaces are stable)."""
+    x, y = pt
+    return (
+        _fq2_from_fq12(frobenius(_fq12_from_fq2(x, 2), j), 2),
+        _fq2_from_fq12(frobenius(_fq12_from_fq2(y, 3), j), 3),
+    )
+
+
+def _line_items(p1, p2, xp: int, yp: int):
+    """Sparse coefficients of the line through twisted p1, p2 evaluated at
+    the G1 point (xp, yp), and nothing else. Matches _linefunc branch for
+    branch: line = s·w·xp - E(s·x1)·w^3 - yp + E(y1)·w^3 with the Fq2
+    slope s (the FQ12 slope is s·w: dy in w^3, dx in w^2)."""
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 != x2:
+        s = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
+    elif y1 == y2:
+        s = fq2_mul(
+            fq2_mul_scalar(fq2_square(x1), 3),
+            fq2_inv(fq2_mul_scalar(y1, 2)),
+        )
+    else:
+        # vertical: xt - x1 = xp - E(x1)·w^2
+        nx = fq2_neg(x1)
+        return ((0, xp % Q), (2, (nx[0] - 9 * nx[1]) % Q), (8, nx[1]))
+    sxp = fq2_mul_scalar(s, xp)
+    t = fq2_sub(y1, fq2_mul(s, x1))
+    return (
+        (0, (-yp) % Q),
+        (1, (sxp[0] - 9 * sxp[1]) % Q),
+        (7, sxp[1]),
+        (3, (t[0] - 9 * t[1]) % Q),
+        (9, t[1]),
+    )
+
+
+def _add_fq2(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and y1 == y2:
+        return _double_fq2(p1)
+    if x1 == x2:
+        return None
+    s = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
+    x3 = fq2_sub(fq2_sub(fq2_square(s), x1), x2)
+    return (x3, fq2_sub(fq2_mul(s, fq2_sub(x1, x3)), y1))
+
+
+def _double_fq2(p):
+    x, y = p
+    s = fq2_mul(
+        fq2_mul_scalar(fq2_square(x), 3), fq2_inv(fq2_mul_scalar(y, 2))
+    )
+    x3 = fq2_sub(fq2_square(s), fq2_mul_scalar(x, 2))
+    return (x3, fq2_sub(fq2_mul(s, fq2_sub(x, x3)), y))
+
+
+def miller_loop_fq2(g2_pt, g1_pt) -> FQ12:
+    """Miller loop over raw affine inputs (G2 as ((x0,x1),(y0,y1)) Fq2
+    pairs, G1 as (x, y) ints) — same value as
+    miller_loop(twist(g2_pt), cast_g1(g1_pt))."""
+    if g2_pt is None or g1_pt is None:
+        return FQ12.one()
+    q = (tuple(g2_pt[0]), tuple(g2_pt[1]))
+    xp, yp = g1_pt
+    r = q
+    f = FQ12.one()
+    for i in range(LOG_ATE_LOOP_COUNT, -1, -1):
+        f = f.square().mul_sparse(_line_items(r, r, xp, yp))
+        r = _double_fq2(r)
+        if ATE_LOOP_COUNT & (1 << i):
+            f = f.mul_sparse(_line_items(r, q, xp, yp))
+            r = _add_fq2(r, q)
+    q1 = _frob_twisted(q, 1)
+    q2 = _frob_twisted(q1, 1)
+    nq2 = (q2[0], fq2_neg(q2[1]))
+    f = f.mul_sparse(_line_items(r, q1, xp, yp))
+    r = _add_fq2(r, q1)
+    f = f.mul_sparse(_line_items(r, nq2, xp, yp))
+    return f
+
+
 def pairing(g2_pt, g1_pt) -> FQ12:
     """Full reduced pairing e(g1_pt, g2_pt) (args: G2 affine, G1 affine)."""
-    return final_exponentiate(miller_loop(twist(g2_pt), cast_g1(g1_pt)))
+    return final_exponentiate(miller_loop_fq2(g2_pt, g1_pt))
 
 
 def multi_pairing(pairs) -> FQ12:
@@ -195,5 +319,5 @@ def multi_pairing(pairs) -> FQ12:
     for g1_pt, g2_pt in pairs:
         if g1_pt is None or g2_pt is None:
             continue
-        f = f * miller_loop(twist(g2_pt), cast_g1(g1_pt))
+        f = f * miller_loop_fq2(g2_pt, g1_pt)
     return final_exponentiate(f)

@@ -46,3 +46,23 @@ def test_pairing_bilinearity_still_holds():
 
     g1, g2 = rc.g1_generator(), rc.g2_generator()
     assert pairing(rc.G2.mul(g2, 7), g1) == pairing(g2, rc.G1.mul(g1, 7))
+
+
+def test_miller_fq2_matches_twisted_fq12_loop():
+    import random
+
+    from circom_compat_tpu.constants import R_SCALAR
+    from circom_compat_tpu.refmath import curve as rc
+    from circom_compat_tpu.refmath.pairing import (
+        cast_g1,
+        miller_loop,
+        miller_loop_fq2,
+        twist,
+    )
+
+    rng = random.Random(21)
+    g1, g2 = rc.g1_generator(), rc.g2_generator()
+    for _ in range(2):
+        P = rc.G1.mul(g1, rng.randrange(1, R_SCALAR))
+        Q2 = rc.G2.mul(g2, rng.randrange(1, R_SCALAR))
+        assert miller_loop_fq2(Q2, P) == miller_loop(twist(Q2), cast_g1(P))
