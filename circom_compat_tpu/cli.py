@@ -145,6 +145,70 @@ def Groth16_random():
     return random_scalar()
 
 
+def cmd_fullprove(args) -> int:
+    """snarkjs `groth16 fullprove` analogue: wasm + inputs + zkey ->
+    proof.json + public.json in one step."""
+    from .circom.zkey import read_zkey
+    from .models import Groth16
+    from .witness import WitnessCalculator
+
+    wc = WitnessCalculator.from_file(args.wasm)
+    inputs = json.load(open(args.inputs))
+    witness = wc.calculate_witness(inputs, sanity_check=args.sanity_check)
+    pk, matrices = read_zkey(args.zkey)
+    proof = Groth16.create_proof_with_reduction_and_matrices(
+        pk,
+        Groth16_random(), Groth16_random(),
+        matrices,
+        matrices.num_instance_variables,
+        matrices.num_constraints,
+        witness,
+        backend=args.backend,
+    )
+    public = witness[1 : matrices.num_instance_variables]
+    json.dump(_proof_to_json(proof), open(args.proof, "w"), indent=1)
+    json.dump([str(v) for v in public], open(args.public, "w"), indent=1)
+    print(f"wrote {args.proof}, {args.public}")
+    return 0
+
+
+def cmd_export_calldata(args) -> int:
+    """snarkjs `groth16 exportsoliditycalldata` analogue: proof + public
+    inputs as the Verifier.verifyProof argument list (G2 limbs c1-first,
+    ethereum.py's Solidity convention)."""
+    from . import ethereum as eth
+
+    proof = _proof_from_json(json.load(open(args.proof)))
+    public = [int(v) for v in json.load(open(args.public))]
+    ep = eth.Proof.from_ark(proof)
+    # as_tuple already emits G2 limbs c1-first (the Solidity convention)
+    (ax, ay), ((bxc1, bxc0), (byc1, byc0)), (cx, cy) = ep.as_tuple()
+
+    def hx(v):
+        return f'"0x{v:064x}"'
+
+    parts = [
+        f"[{hx(ax)},{hx(ay)}]",
+        f"[[{hx(bxc1)},{hx(bxc0)}],[{hx(byc1)},{hx(byc0)}]]",
+        f"[{hx(cx)},{hx(cy)}]",
+        "[" + ",".join(hx(v % (1 << 256)) for v in public) + "]",
+    ]
+    print(",".join(parts))
+    return 0
+
+
+def cmd_r1cs_info(args) -> int:
+    """snarkjs `r1cs info` analogue."""
+    from .circom.r1cs import read_r1cs
+
+    r1cs = read_r1cs(args.r1cs)
+    print(f"# wires:        {r1cs.num_variables}")
+    print(f"# constraints:  {len(r1cs.constraints)}")
+    print(f"# public (incl. wire one): {r1cs.num_inputs}")
+    print(f"# private (aux): {r1cs.num_aux}")
+    return 0
+
+
 def cmd_verify(args) -> int:
     from .models import Groth16
 
@@ -309,6 +373,31 @@ def main(argv=None) -> int:
     p.add_argument("public")
     p.add_argument("--backend", default="host", choices=["host", "jax"])
     p.set_defaults(fn=cmd_prove)
+
+    fp = sub.add_parser(
+        "fullprove", help="witness + prove in one step (snarkjs fullprove)"
+    )
+    fp.add_argument("inputs")
+    fp.add_argument("wasm")
+    fp.add_argument("zkey")
+    fp.add_argument("proof")
+    fp.add_argument("public")
+    fp.add_argument("--backend", default="host", choices=["host", "jax"])
+    fp.add_argument("--sanity-check", action="store_true")
+    fp.set_defaults(fn=cmd_fullprove)
+
+    ec = sub.add_parser(
+        "export-calldata",
+        help="proof + public -> Solidity verifyProof calldata "
+             "(snarkjs exportsoliditycalldata)",
+    )
+    ec.add_argument("public")
+    ec.add_argument("proof")
+    ec.set_defaults(fn=cmd_export_calldata)
+
+    ri = sub.add_parser("r1cs-info", help="print r1cs header summary")
+    ri.add_argument("r1cs")
+    ri.set_defaults(fn=cmd_r1cs_info)
 
     v = sub.add_parser("verify", help="verify a proof")
     v.add_argument("vkey")

@@ -100,3 +100,38 @@ def test_zkey_writer_roundtrip(circuit):
             matrices2.num_constraints, full)
     proof = Groth16.create_proof_with_reduction_and_matrices(*args)
     assert Groth16.verify_proof(pk2.vk, proof, circuit.get_public_inputs())
+
+
+def test_cli_fullprove_calldata_r1cs_info(tmp_path, test_vectors, capsys):
+    """fullprove -> verify -> export-calldata round-trips against the EVM
+    verifier argument layout (G2 limbs c1-first); r1cs-info prints the
+    header counts."""
+    wasm = str(test_vectors / "mycircuit_js" / "mycircuit.wasm")
+    zkey = str(test_vectors / "test.zkey")
+    inputs = str(test_vectors / "mycircuit-input1.json")
+    proof_p = str(tmp_path / "proof.json")
+    public_p = str(tmp_path / "public.json")
+
+    assert main(["fullprove", inputs, wasm, zkey, proof_p, public_p]) == 0
+    assert main([
+        "verify", str(test_vectors / "verification_key.json"),
+        public_p, proof_p,
+    ]) == 0
+    capsys.readouterr()
+
+    assert main(["export-calldata", public_p, proof_p]) == 0
+    calldata = capsys.readouterr().out.strip()
+    words = [int(w, 16) for w in calldata.replace('"', " ").replace("[", " ")
+             .replace("]", " ").replace(",", " ").split()]
+    proof = json.load(open(proof_p))
+    public = [int(v) for v in json.load(open(public_p))]
+    # a.x, a.y, b.x.c1, b.x.c0, b.y.c1, b.y.c0, c.x, c.y, publics...
+    assert words[0] == int(proof["pi_a"][0])
+    assert words[2] == int(proof["pi_b"][0][1])  # c1 first
+    assert words[3] == int(proof["pi_b"][0][0])
+    assert words[6] == int(proof["pi_c"][0])
+    assert words[8:] == public
+
+    assert main(["r1cs-info", str(test_vectors / "mycircuit.r1cs")]) == 0
+    info = capsys.readouterr().out
+    assert "# wires:        4" in info and "# constraints:  1" in info
