@@ -173,13 +173,36 @@ def build_multihost_prover(dpk, mesh, window_bits: Optional[int] = None):
         from .mesh import shmap
 
         def g1_body(xs, ys, sc):
-            def one(args):
-                x, y, s = args
-                return msm_ops.window_sums_affine_impl(
-                    cj.FQ_ADAPTER, x, y, s, window_bits
+            # A/B1 share the assignment scalars -> one argsort for both
+            # local shards (same sharing as the single-chip core).
+            la, lb1 = dpk.g1_lengths[0], dpk.g1_lengths[1]
+            if (n_pad // D) <= msm_ops.CHUNK_POINTS:
+                oa, ka = msm_ops.window_orders(sc[0], window_bits)
+                ob1, kb1 = (
+                    (oa, ka) if lb1 == la
+                    else msm_ops.window_orders(sc[1], window_bits)
                 )
+                ol, kl = msm_ops.window_orders(sc[2], window_bits)
+                oh, kh = msm_ops.window_orders(sc[3], window_bits)
+                orders = jnp.stack([oa, ob1, ol, oh])
+                keys = jnp.stack([ka, kb1, kl, kh])
 
-            sums = jax.lax.map(one, (xs, ys, sc))
+                def one(args):
+                    x, y, s, o, k = args
+                    return msm_ops.window_sums_affine_impl(
+                        cj.FQ_ADAPTER, x, y, s, window_bits, precomp=(o, k)
+                    )
+
+                sums = jax.lax.map(one, (xs, ys, sc, orders, keys))
+            else:
+
+                def one(args):
+                    x, y, s = args
+                    return msm_ops.window_sums_affine_impl(
+                        cj.FQ_ADAPTER, x, y, s, window_bits
+                    )
+
+                sums = jax.lax.map(one, (xs, ys, sc))
             gathered = jax.lax.all_gather(sums, axes, tiled=False)
             return segments.tree_fold(
                 lambda a, b: cj.proj_add(cj.FQ_ADAPTER, a, b), gathered, D

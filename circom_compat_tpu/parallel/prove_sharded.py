@@ -116,15 +116,41 @@ def build_sharded_prover(
         g1_x = g1_x.at[3].set(g1_x[3][h_perm])
         g1_y = g1_y.at[3].set(g1_y[3][h_perm])
 
-    def g1_body(xs, ys, sc):  # local shards (4, n_pad/D, 16)
-        def one(args):
-            x, y, s = args
-            # points ride the mesh AND the gathers in compact uint16
-            return msm_ops.window_sums_affine_impl(
-                cj.FQ_ADAPTER, x, y, s, window_bits
-            )
+    la, lb1 = dpk.g1_lengths[0], dpk.g1_lengths[1]
+    share_sorts = (n_pad // D) <= msm_ops.CHUNK_POINTS
 
-        sums = jax.lax.map(one, (xs, ys, sc))  # (4, W, pt)
+    def g1_body(xs, ys, sc):  # local shards (4, n_pad/D, 16)
+        if share_sorts:
+            # A and B1 share the assignment scalars, so their local
+            # shards' per-window argsorts are identical (ops/msm.py
+            # window_orders — same sharing as the single-chip core).
+            oa, ka = msm_ops.window_orders(sc[0], window_bits)
+            ob1, kb1 = (
+                (oa, ka) if lb1 == la
+                else msm_ops.window_orders(sc[1], window_bits)
+            )
+            ol, kl = msm_ops.window_orders(sc[2], window_bits)
+            oh, kh = msm_ops.window_orders(sc[3], window_bits)
+            orders = jnp.stack([oa, ob1, ol, oh])
+            keys = jnp.stack([ka, kb1, kl, kh])
+
+            def one(args):
+                x, y, s, o, k = args
+                return msm_ops.window_sums_affine_impl(
+                    cj.FQ_ADAPTER, x, y, s, window_bits, precomp=(o, k)
+                )
+
+            sums = jax.lax.map(one, (xs, ys, sc, orders, keys))
+        else:
+
+            def one(args):
+                x, y, s = args
+                # points ride the mesh AND the gathers in compact uint16
+                return msm_ops.window_sums_affine_impl(
+                    cj.FQ_ADAPTER, x, y, s, window_bits
+                )
+
+            sums = jax.lax.map(one, (xs, ys, sc))  # (4, W, pt)
         gathered = jax.lax.all_gather(sums, SHARD_AXIS)  # (D, 4, W, pt)
         return segments.tree_fold(
             lambda a, b: cj.proj_add(cj.FQ_ADAPTER, a, b), gathered, D

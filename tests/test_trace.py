@@ -71,3 +71,25 @@ def test_prove_and_verify_emit_stages(test_vectors):
         "verify/pairing",
         "verify/ic_msm",
     } <= names
+
+
+def test_device_profile_writes_trace(tmp_path):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    with trace.device_profile(str(tmp_path)):
+        jnp.arange(8).sum().block_until_ready()
+    found = []
+    for root, _dirs, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "jax.profiler produced no trace files"
+
+
+def test_device_profile_disabled_is_noop(tmp_path):
+    import os
+
+    with trace.device_profile(str(tmp_path), enabled=False):
+        pass
+    assert not any(files for _r, _d, files in os.walk(tmp_path))
