@@ -73,17 +73,26 @@ class _CurveOps:
         # checks multiplying a candidate by r itself) would silently become
         # p*0 — which made g2_in_correct_subgroup vacuously true (round-2
         # bug fix, caught by test_wrong_subgroup_g2_rejected).
+        return self.jac_to_affine(self.jac_mul(p, k))
+
+    def jac_mul(self, p, k: int):
+        """Double-and-add entirely in Jacobian coordinates: ONE field
+        inversion at most (in jac_to_affine) instead of one per point op —
+        the affine ladder made the G2 subgroup check ~380 Fq inversions."""
+        if p is None or k == 0:
+            return None
         if k < 0:
             p = self.neg(p)
             k = -k
-        result = None
-        addend = p
+        addend = (p[0], p[1], self.one)
+        acc = None
         while k:
             if k & 1:
-                result = self.add(result, addend)
-            addend = self.double(addend)
+                acc = self.jac_add(acc, addend)
             k >>= 1
-        return result
+            if k:
+                addend = self.jac_double(addend)
+        return acc
 
     # ---- Jacobian helpers (no per-op field inversion) --------------------
 
@@ -273,4 +282,6 @@ def g1_in_correct_subgroup(p) -> bool:
 
 
 def g2_in_correct_subgroup(p) -> bool:
-    return G2.is_on_curve(p) and G2.mul(p, R_SCALAR) is None
+    # [r]p computed in Jacobian: infinity shows up as None (cancellation in
+    # jac_add) with no inversion needed at all.
+    return G2.is_on_curve(p) and G2.jac_mul(p, R_SCALAR) is None

@@ -229,24 +229,11 @@ def _frob_twisted(pt, j: int):
     )
 
 
-def _line_items(p1, p2, xp: int, yp: int):
-    """Sparse coefficients of the line through twisted p1, p2 evaluated at
-    the G1 point (xp, yp), and nothing else. Matches _linefunc branch for
-    branch: line = s·w·xp - E(s·x1)·w^3 - yp + E(y1)·w^3 with the Fq2
-    slope s (the FQ12 slope is s·w: dy in w^3, dx in w^2)."""
-    x1, y1 = p1
-    x2, y2 = p2
-    if x1 != x2:
-        s = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
-    elif y1 == y2:
-        s = fq2_mul(
-            fq2_mul_scalar(fq2_square(x1), 3),
-            fq2_inv(fq2_mul_scalar(y1, 2)),
-        )
-    else:
-        # vertical: xt - x1 = xp - E(x1)·w^2
-        nx = fq2_neg(x1)
-        return ((0, xp % Q), (2, (nx[0] - 9 * nx[1]) % Q), (8, nx[1]))
+def _line_with_slope(s, x1, y1, xp: int, yp: int):
+    """Sparse coefficients of the line of slope s through twisted (x1, y1)
+    evaluated at the G1 point (xp, yp):
+    line = s·w·xp - E(s·x1)·w^3 - yp + E(y1)·w^3 (the FQ12 slope is s·w:
+    dy in w^3, dx in w^2)."""
     sxp = fq2_mul_scalar(s, xp)
     t = fq2_sub(y1, fq2_mul(s, x1))
     return (
@@ -258,29 +245,34 @@ def _line_items(p1, p2, xp: int, yp: int):
     )
 
 
-def _add_fq2(p1, p2):
-    if p1 is None:
-        return p2
-    if p2 is None:
-        return p1
-    x1, y1 = p1
-    x2, y2 = p2
-    if x1 == x2 and y1 == y2:
-        return _double_fq2(p1)
-    if x1 == x2:
-        return None
-    s = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
-    x3 = fq2_sub(fq2_sub(fq2_square(s), x1), x2)
-    return (x3, fq2_sub(fq2_mul(s, fq2_sub(x1, x3)), y1))
-
-
-def _double_fq2(p):
+def _dbl_step(p, xp: int, yp: int):
+    """(tangent line items at p, [2]p) — the slope's Fq2 inversion is
+    computed once and shared by both."""
     x, y = p
     s = fq2_mul(
         fq2_mul_scalar(fq2_square(x), 3), fq2_inv(fq2_mul_scalar(y, 2))
     )
     x3 = fq2_sub(fq2_square(s), fq2_mul_scalar(x, 2))
-    return (x3, fq2_sub(fq2_mul(s, fq2_sub(x, x3)), y))
+    p3 = (x3, fq2_sub(fq2_mul(s, fq2_sub(x, x3)), y))
+    return _line_with_slope(s, x, y, xp, yp), p3
+
+
+def _add_step(p1, p2, xp: int, yp: int):
+    """(line items through p1, p2; p1 + p2), sharing one slope inversion.
+    p1 != ±p2 is guaranteed in the ate loop (r is never ±q mid-loop for
+    r-torsion inputs); the vertical case is kept for completeness."""
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and y1 == y2:
+        return _dbl_step(p1, xp, yp)
+    if x1 == x2:
+        nx = fq2_neg(x1)
+        items = ((0, xp % Q), (2, (nx[0] - 9 * nx[1]) % Q), (8, nx[1]))
+        return items, None
+    s = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
+    x3 = fq2_sub(fq2_sub(fq2_square(s), x1), x2)
+    p3 = (x3, fq2_sub(fq2_mul(s, fq2_sub(x1, x3)), y1))
+    return _line_with_slope(s, x1, y1, xp, yp), p3
 
 
 def miller_loop_fq2(g2_pt, g1_pt) -> FQ12:
@@ -294,18 +286,18 @@ def miller_loop_fq2(g2_pt, g1_pt) -> FQ12:
     r = q
     f = FQ12.one()
     for i in range(LOG_ATE_LOOP_COUNT, -1, -1):
-        f = f.square().mul_sparse(_line_items(r, r, xp, yp))
-        r = _double_fq2(r)
+        items, r = _dbl_step(r, xp, yp)
+        f = f.square().mul_sparse(items)
         if ATE_LOOP_COUNT & (1 << i):
-            f = f.mul_sparse(_line_items(r, q, xp, yp))
-            r = _add_fq2(r, q)
+            items, r = _add_step(r, q, xp, yp)
+            f = f.mul_sparse(items)
     q1 = _frob_twisted(q, 1)
     q2 = _frob_twisted(q1, 1)
     nq2 = (q2[0], fq2_neg(q2[1]))
-    f = f.mul_sparse(_line_items(r, q1, xp, yp))
-    r = _add_fq2(r, q1)
-    f = f.mul_sparse(_line_items(r, nq2, xp, yp))
-    return f
+    items, r = _add_step(r, q1, xp, yp)
+    f = f.mul_sparse(items)
+    items, _ = _add_step(r, nq2, xp, yp)
+    return f.mul_sparse(items)
 
 
 def pairing(g2_pt, g1_pt) -> FQ12:
