@@ -32,7 +32,41 @@ def read_wtns(path_or_bytes) -> List[int]:
         return _parse(fh)
 
 
+def read_wtns_limbs(path_or_bytes):
+    """Witness values as a (n, 16) uint32 canonical limb array: the 32-byte
+    LE wire encoding IS the LE 16-bit limb layout, so the data section is
+    one frombuffer — the device provers consume it with no Python-int
+    pass (models/groth16_jax._encode_assignment)."""
+    import numpy as np
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        r = io.BytesIO(path_or_bytes)
+    elif hasattr(path_or_bytes, "read"):
+        r = path_or_bytes
+    else:
+        r = open(path_or_bytes, "rb")
+    try:
+        data, n = _parse_raw(r)
+    finally:
+        if r is not path_or_bytes and not isinstance(
+            path_or_bytes, (bytes, bytearray)
+        ):
+            r.close()
+    return (
+        np.frombuffer(data, dtype="<u2").reshape(n, 16).astype(np.uint32)
+    )
+
+
 def _parse(r: BinaryIO) -> List[int]:
+    data, n_witness = _parse_raw(r)
+    n8 = 32
+    return [
+        int.from_bytes(data[i * n8 : (i + 1) * n8], "little") for i in range(n_witness)
+    ]
+
+
+def _parse_raw(r: BinaryIO):
+    """Validated header scan; returns (data-section bytes, n_witness)."""
     if r.read(4) != WTNS_MAGIC:
         raise WtnsParseError("invalid wtns magic")
     _version = struct.unpack("<I", r.read(4))[0]
@@ -56,10 +90,7 @@ def _parse(r: BinaryIO) -> List[int]:
     if size != n_witness * n8:
         raise WtnsParseError("wtns data section size mismatch")
     r.seek(pos)
-    data = r.read(size)
-    return [
-        int.from_bytes(data[i * n8 : (i + 1) * n8], "little") for i in range(n_witness)
-    ]
+    return r.read(size), n_witness
 
 
 def write_wtns(values: List[int], path_or_buf) -> None:

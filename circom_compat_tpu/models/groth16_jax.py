@@ -432,6 +432,16 @@ def assemble_proof(dpk, r, s, g1_sums, g2_sums, window_bits):
     return Proof(a=g_a, b=g_b2, c=g_c)
 
 
+def _encode_assignment(full_assignment) -> np.ndarray:
+    """Assignment -> (N, 16) uint32 canonical limbs. ndarray inputs (from
+    WitnessCalculator.calculate_witness_limbs / read_wtns_limbs) are
+    already canonical limb rows and skip the Python-int pass entirely."""
+    if isinstance(full_assignment, np.ndarray) and full_assignment.ndim == 2:
+        return np.ascontiguousarray(full_assignment, dtype=np.uint32)
+    assignment = [int(a) % R_SCALAR for a in full_assignment]
+    return fj.encode_plain(assignment)
+
+
 def prove_prepared(
     dpk: DeviceProvingKey,
     r: int,
@@ -444,8 +454,7 @@ def prove_prepared(
     if window_bits is None:
         window_bits = default_window_bits(max(dpk.n_vars, dpk.domain_size))
     with trace.stage("prove.encode"):
-        assignment = [int(a) % R_SCALAR for a in full_assignment]
-        asg_plain = jnp.asarray(fj.encode_plain(assignment))
+        asg_plain = jnp.asarray(_encode_assignment(full_assignment))
     # jax dispatch is async: "device" includes the window-sum readback that
     # forces the computation; "dispatch" is trace+enqueue only.
     with trace.stage("prove.device"):

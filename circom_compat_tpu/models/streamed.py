@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import R_SCALAR
 from ..ops import curve_jax as cj
 from ..ops import field_jax as fj
 from ..ops import msm as msm_ops
@@ -206,8 +205,7 @@ def prove_streamed(
     from ..utils import trace
 
     with trace.stage("prove.encode"):
-        assignment = [int(a) % R_SCALAR for a in full_assignment]
-        asg_plain_np = np.asarray(fj.encode_plain(assignment))
+        asg_plain_np = np.asarray(gj._encode_assignment(full_assignment))
 
     with trace.stage("prove.witness_map"):
         if "witness" not in spk._cache:

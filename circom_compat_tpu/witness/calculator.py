@@ -164,11 +164,51 @@ class WitnessCalculator:
     # (negatives are normalized mod r, reference: witness_calculator.rs:164-179).
     calculate_witness_element = calculate_witness
 
+    def calculate_witness_limbs(self, inputs: Inputs, sanity_check: bool = False):
+        """Run the circuit; returns the witness as a (n_wires, 16) uint32
+        canonical 16-bit-limb array — the device provers' native input
+        format (no Python-int round trip; the AOT engine's batched
+        readback is already a word array)."""
+        import numpy as np
+
+        from ..ops import limbs as limb_codec
+        from ..utils import trace
+
+        with trace.stage("witness.calculate"):
+            if not self.legacy:
+                ex = self.instance.exported
+                ex("init")(1 if sanity_check else 0)
+                self._set_inputs_circom2(inputs)
+                witness_size = ex("getWitnessSize")()
+                if hasattr(self.instance, "read_witness_words"):
+                    words = self.instance.read_witness_words(
+                        witness_size, self.n32
+                    )  # (n, n32) LE u32
+                    # LE u32 words ARE the LE byte stream = LE u16 limbs
+                    limbs16 = words.astype("<u4").view("<u2")
+                    out = np.zeros((witness_size, 16), np.uint32)
+                    ncols = min(16, limbs16.shape[1])
+                    out[:, :ncols] = limbs16[:, :ncols]
+                    return out
+                vals = self._read_witness_circom2(witness_size)
+            else:
+                vals = self._calculate_witness_legacy(inputs, sanity_check)
+            return limb_codec.ints_to_limbs(vals, dtype=np.uint32)
+
     def _calculate_witness_circom2(self, inputs: Inputs, sanity_check: bool) -> List[int]:
         ex = self.instance.exported
         ex("init")(1 if sanity_check else 0)
-        n32 = self.n32
+        self._set_inputs_circom2(inputs)
+        witness_size = ex("getWitnessSize")()
+        if hasattr(self.instance, "read_witness_batch"):
+            # AOT engine: whole readback loop in one native call instead of
+            # witness_size * (1 + n32) ctypes round-trips.
+            return self.instance.read_witness_batch(witness_size, self.n32)
+        return self._read_witness_circom2(witness_size)
 
+    def _set_inputs_circom2(self, inputs: Inputs) -> None:
+        ex = self.instance.exported
+        n32 = self.n32
         write_shared = ex("writeSharedRWMemory")
         set_input = ex("setInputSignal")
 
@@ -191,11 +231,9 @@ class WitnessCalculator:
                     f"out of {expected}"
                 )
 
-        witness_size = ex("getWitnessSize")()
-        if hasattr(self.instance, "read_witness_batch"):
-            # AOT engine: whole readback loop in one native call instead of
-            # witness_size * (1 + n32) ctypes round-trips.
-            return self.instance.read_witness_batch(witness_size, n32)
+    def _read_witness_circom2(self, witness_size: int) -> List[int]:
+        ex = self.instance.exported
+        n32 = self.n32
         get_witness = ex("getWitness")
         read_shared = ex("readSharedRWMemory")
         out: List[int] = []

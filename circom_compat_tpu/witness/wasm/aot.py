@@ -842,9 +842,10 @@ class AotInstance:
             self._raise_rc()
         return [int(out[i]) for i in range(n)]
 
-    def read_witness_batch(self, n: int, n32: int) -> List[int]:
+    def read_witness_words(self, n: int, n32: int):
         """The circom-2 readback protocol (getWitness + n32 x
-        readSharedRWMemory per wire) in one native loop."""
+        readSharedRWMemory per wire) in one native loop; returns the raw
+        (n, n32) little-endian u32 word array."""
         gi = self.module.exports["getWitness"].index
         ri = self.module.exports["readSharedRWMemory"].index
         out = (ctypes.c_uint64 * (n * n32))()
@@ -853,7 +854,10 @@ class AotInstance:
             self._raise_rc()
         import numpy as np
 
-        arr = np.ctypeslib.as_array(out).astype(np.uint32).reshape(n, n32)
+        return np.ctypeslib.as_array(out).astype(np.uint32).reshape(n, n32)
+
+    def read_witness_batch(self, n: int, n32: int) -> List[int]:
+        arr = self.read_witness_words(n, n32)
         raw = arr.tobytes()  # LE u32 limbs, LSW first == LE integer bytes
         step = n32 * 4
         return [

@@ -122,3 +122,57 @@ def test_wasm_facade(test_vectors):
 
     with pytest.raises(WasmTrap):  # missing export panics (reference :67-71)
         w.get_fr_len()
+
+
+def test_calculate_witness_limbs_matches_ints(test_vectors):
+    """(n, 16)-limb witness fast path == the Python-int path, on both the
+    circom-2 fixtures, across whatever engine is active."""
+    import numpy as np
+
+    from circom_compat_tpu.ops import limbs as limb_codec
+
+    for wasm in ("mycircuit_js/mycircuit.wasm", "circuit2_js/circuit2.wasm"):
+        wc = WitnessCalculator.from_file(test_vectors / wasm)
+        inputs = {"a": 3, "b": 11}
+        ints = wc.calculate_witness(inputs)
+        arr = wc.calculate_witness_limbs(inputs)
+        assert arr.shape == (len(ints), 16) and arr.dtype == np.uint32
+        np.testing.assert_array_equal(
+            arr, limb_codec.ints_to_limbs(ints, dtype=np.uint32)
+        )
+
+
+def test_read_wtns_limbs_matches_ints(test_vectors):
+    import numpy as np
+
+    from circom_compat_tpu.circom.wtns import read_wtns, read_wtns_limbs
+    from circom_compat_tpu.ops import limbs as limb_codec
+
+    path = test_vectors / "circuit2_js" / "witness.wtns"
+    ints = read_wtns(path)
+    arr = read_wtns_limbs(path)
+    np.testing.assert_array_equal(
+        arr, limb_codec.ints_to_limbs(ints, dtype=np.uint32)
+    )
+
+
+def test_jax_prover_accepts_limb_array_assignment(test_vectors):
+    from circom_compat_tpu import read_zkey
+    from circom_compat_tpu.models import Groth16
+
+    pk, matrices = read_zkey(test_vectors / "test.zkey")
+    wc = WitnessCalculator.from_file(
+        test_vectors / "mycircuit_js" / "mycircuit.wasm"
+    )
+    ints = wc.calculate_witness({"a": 3, "b": 11})
+    arr = wc.calculate_witness_limbs({"a": 3, "b": 11})
+    kwargs = dict(backend="jax")
+    p_list = Groth16.create_proof_with_reduction_and_matrices(
+        pk, 7, 9, matrices, matrices.num_instance_variables,
+        matrices.num_constraints, ints, **kwargs,
+    )
+    p_arr = Groth16.create_proof_with_reduction_and_matrices(
+        pk, 7, 9, matrices, matrices.num_instance_variables,
+        matrices.num_constraints, arr, **kwargs,
+    )
+    assert p_list == p_arr
