@@ -94,10 +94,24 @@ def _batch_inv_fq(vals: jnp.ndarray) -> jnp.ndarray:
     return fj.select(zmask, jnp.zeros_like(inv), inv)
 
 
+def _canon(v: jnp.ndarray) -> jnp.ndarray:
+    """Canonicalize a LAZY field value (in [0, 2p), 16-bit limbs) to < p.
+
+    The Pallas combines run lazy reduction (ops/curve_pallas.py): their
+    outputs live in [0, 2p). The XLA field ops here (`fj.add/sub/neg`,
+    the Fq2 adapter's Karatsuba sums, `fj.is_zero`) assume canonical
+    inputs — feeding them lazy values silently corrupts the result (e.g.
+    neg(z1) underflows for z1 in (p, 2p), which broke every G2 setup
+    section on real TPUs; round-2 regression). One conditional subtract
+    at this kernel->XLA boundary restores the invariant."""
+    return fj.cond_sub_p(fj.FQ, v)
+
+
 def g1_proj_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched (N,) RCB-projective G1 -> affine Montgomery (N,16) x/y;
-    infinity rows come out all-zero (the zkey encoding)."""
-    X, Y, Z = points
+    infinity rows come out all-zero (the zkey encoding). Accepts lazy
+    [0, 2p) coordinates (Pallas combine outputs)."""
+    X, Y, Z = (_canon(c) for c in points)
     zinv = _batch_inv_fq(Z)
     x = fj.mont_mul_impl(fj.FQ, X, zinv)
     y = fj.mont_mul_impl(fj.FQ, Y, zinv)
@@ -110,8 +124,9 @@ def g2_proj_to_affine(points: cj.Point) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched (N,) RCB-projective G2 -> affine Montgomery (N,2,16) x/y.
 
     Fq2 inversion via the norm: (a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2+a1^2),
-    with the Fq norms batch-inverted in one pass."""
-    X, Y, Z = points
+    with the Fq norms batch-inverted in one pass. Accepts lazy [0, 2p)
+    coordinates (Pallas combine outputs) — see _canon."""
+    X, Y, Z = (_canon(c) for c in points)
     z0, z1 = Z[..., 0, :], Z[..., 1, :]
     norm = fj.add_impl(
         fj.FQ,

@@ -71,3 +71,105 @@ def test_setup_key_is_consistent_with_zkey_layout(params):
     assert len(params.a_query) == params.n_vars
     assert len(params.h_query) == params.domain_size
     assert params.n_public + 1 == len(params.vk.gamma_abc_g1)
+
+
+def test_proj_to_affine_accepts_lazy_coordinates():
+    """The Pallas combines emit LAZY [0, 2p) limb values; the batch
+    projective->affine normalizers must canonicalize at that boundary.
+    Round-2 on-TPU regression: neg(z1) underflowed for lazy z1 in (p, 2p),
+    corrupting every G2 section of device-generated setup keys (the CPU
+    test mesh uses the XLA combine, which is canonical — so only a lazy
+    input reproduces it off-chip)."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from circom_compat_tpu.constants import Q
+    from circom_compat_tpu.ops import curve_jax as cj
+    from circom_compat_tpu.ops import fixed_base as fb
+    from circom_compat_tpu.ops import limbs as lc
+    from circom_compat_tpu.refmath import curve as rc
+
+    rng = random.Random(11)
+    rinv = pow(1 << 256, -1, Q)
+    n = 8
+
+    def lazify(int_val, lazy):
+        # re-encode value (already Montgomery) with +p when lazy
+        return lc.int_to_limbs(int_val + (Q if lazy else 0))
+
+    def fq2_mul(a, b):
+        # BN254 Fq2 = Fq[u]/(u^2 + 1)
+        return ((a[0] * b[0] - a[1] * b[1]) % Q, (a[0] * b[1] + a[1] * b[0]) % Q)
+
+    for g2 in (False, True):
+        gen = rc.g2_generator() if g2 else rc.g1_generator()
+        ops = rc.G2 if g2 else rc.G1
+        pts = [ops.mul(gen, rng.randrange(1, 1 << 64)) for _ in range(n)]
+        # random projective scale: full Fq2 (NONZERO c1 — the round-2 bug
+        # was neg() underflowing on a lazy z1) for G2, Fq for G1
+        zs2 = [(rng.randrange(1, Q), rng.randrange(1, Q)) for _ in range(n)]
+        zs = [rng.randrange(1, Q) for _ in range(n)]
+
+        def mont(v):
+            return v * (1 << 256) % Q
+
+        def enc_coord(aff_c, z, power, i):
+            # projective X = x*z, Y = y*z, Z = z (power unused; both scale z)
+            val = mont(aff_c * z % Q)
+            return lazify(val, lazy=(i % 2 == 1))
+
+        def enc2(val2, i, lazy_both=False):
+            # every c1 lazy (odd rows get c0 lazy too)
+            return np.stack([
+                lazify(mont(val2[0]), lazy=(i % 2 == 1) or lazy_both),
+                lazify(mont(val2[1]), lazy=True),
+            ])
+
+        if g2:
+            X = np.stack([
+                enc2(fq2_mul(p[0], z), i)
+                for i, (p, z) in enumerate(zip(pts, zs2))
+            ])
+            Y = np.stack([
+                enc2(fq2_mul(p[1], z), i)
+                for i, (p, z) in enumerate(zip(pts, zs2))
+            ])
+            Z = np.stack([
+                enc2(z, i) for i, z in enumerate(zs2)
+            ])
+            ax, ay = fb.g2_proj_to_affine(
+                (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+            )
+            ax, ay = np.asarray(ax), np.asarray(ay)
+            for i, p in enumerate(pts):
+                got = (
+                    (lc.limbs_to_int(ax[i, 0]) * rinv % Q,
+                     lc.limbs_to_int(ax[i, 1]) * rinv % Q),
+                    (lc.limbs_to_int(ay[i, 0]) * rinv % Q,
+                     lc.limbs_to_int(ay[i, 1]) * rinv % Q),
+                )
+                assert got == p, f"g2 row {i}"
+        else:
+            X = np.stack([
+                enc_coord(p[0], z, 1, i)
+                for i, (p, z) in enumerate(zip(pts, zs))
+            ])
+            Y = np.stack([
+                enc_coord(p[1], z, 1, i)
+                for i, (p, z) in enumerate(zip(pts, zs))
+            ])
+            Z = np.stack([
+                lazify(mont(z), i % 2 == 1) for i, z in enumerate(zs)
+            ])
+            ax, ay = fb.g1_proj_to_affine(
+                (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+            )
+            ax, ay = np.asarray(ax), np.asarray(ay)
+            for i, p in enumerate(pts):
+                got = (
+                    lc.limbs_to_int(ax[i]) * rinv % Q,
+                    lc.limbs_to_int(ay[i]) * rinv % Q,
+                )
+                assert got == p, f"g1 row {i}"
