@@ -101,6 +101,12 @@ def main():
     bench("take-pack32", take, d_pack16, d_idx, n * row_bytes * 2)
     bench("take-sorted", take, d_src16, d_iota, n * row_bytes)
 
+    # 4 windows' worth of indices in ONE gather: if take is launch/overhead
+    # bound this is <4x the single-gather time and batching windows wins.
+    idx4 = jnp.concatenate([jnp.roll(d_idx, k) for k in range(4)])
+    bench("take-4x", lambda s, i: jnp.take(s, i, axis=0),
+          d_src16, idx4, 4 * n * row_bytes)
+
     if not args.skip_pallas:
         from circom_compat_tpu.ops import gather_pallas as gp
 
