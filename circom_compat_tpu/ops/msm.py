@@ -194,8 +194,13 @@ def _grouped_window_sums_affine(
     W, n = orders.shape
     G = _group_size(W)
 
-    def to_words(a):  # (N, ...) u16 -> (N, K) u32 rows
+    def to_words(a):  # (N, ...) 16-bit limbs (any storage dtype) -> (N, K) u32 rows
         flat = a.reshape(n, -1)
+        if flat.dtype != jnp.uint16:
+            # limb values are 16-bit regardless of storage width (sharded
+            # callers stage uint32) — narrowing is lossless and keeps the
+            # pack-two-limbs-per-word bitcast valid.
+            flat = flat.astype(jnp.uint16)
         return jax.lax.bitcast_convert_type(
             flat.reshape(n, flat.shape[1] // 2, 2), jnp.uint32
         )

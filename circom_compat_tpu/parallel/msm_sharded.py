@@ -73,7 +73,9 @@ def msm_g1_sharded(points_mont_xy, scalars, mesh: Mesh, window_bits: int = 8):
     """Host-facing sharded G1 MSM (device window sums + host Horner fold)."""
     from ..refmath import curve as rc
 
-    xs, ys = [np.asarray(a) for a in points_mont_xy]
+    # limb values are 16-bit: narrow the storage rows so the device gathers
+    # move half the bytes (matches ops/msm.msm_g1's staging)
+    xs, ys = [np.asarray(a).astype(np.uint16) for a in points_mont_xy]
     if xs.shape[0] == 0:
         return None
     sc = fj.encode_plain([int(s) for s in scalars], fj.FR)

@@ -86,7 +86,6 @@ def test_proj_to_affine_accepts_lazy_coordinates():
     import numpy as np
 
     from circom_compat_tpu.constants import Q
-    from circom_compat_tpu.ops import curve_jax as cj
     from circom_compat_tpu.ops import fixed_base as fb
     from circom_compat_tpu.ops import limbs as lc
     from circom_compat_tpu.refmath import curve as rc
@@ -115,8 +114,8 @@ def test_proj_to_affine_accepts_lazy_coordinates():
         def mont(v):
             return v * (1 << 256) % Q
 
-        def enc_coord(aff_c, z, power, i):
-            # projective X = x*z, Y = y*z, Z = z (power unused; both scale z)
+        def enc_coord(aff_c, z, i):
+            # projective X = x*z, Y = y*z (both coords scale by the same z)
             val = mont(aff_c * z % Q)
             return lazify(val, lazy=(i % 2 == 1))
 
@@ -153,11 +152,11 @@ def test_proj_to_affine_accepts_lazy_coordinates():
                 assert got == p, f"g2 row {i}"
         else:
             X = np.stack([
-                enc_coord(p[0], z, 1, i)
+                enc_coord(p[0], z, i)
                 for i, (p, z) in enumerate(zip(pts, zs))
             ])
             Y = np.stack([
-                enc_coord(p[1], z, 1, i)
+                enc_coord(p[1], z, i)
                 for i, (p, z) in enumerate(zip(pts, zs))
             ])
             Z = np.stack([
