@@ -95,15 +95,19 @@ def child_msm(args):
     best = min(times)
     pts_per_sec = n / best
 
-    # Baseline: arkworks-rs (ark-ec, asm+rayon) G1 MSM at 2^20 ~1e6 points/s
-    # machine-level (BASELINE.md). The measured native same-machine baseline
-    # (scripts/bench_cpu_baseline.py) is substituted when its cache exists.
-    cpu_pts_per_sec = _cpu_baseline_pts_per_sec()
+    # Baseline: the STRONGER of the measured same-machine native Pippenger
+    # (scripts/bench_cpu_baseline.py cache) and the arkworks asm+rayon
+    # machine-class ballpark of 1e6 points/s (BASELINE.md) — this box's
+    # 4 threads undersell the reference machine class (VERDICT r2 weak#8),
+    # so vs_baseline never flatters the chip against a weak local CPU.
+    native = _cpu_baseline_pts_per_sec()
+    cpu_pts_per_sec = max(native, 1e6)
     print(json.dumps({
         "metric": f"g1_msm_points_per_sec_per_chip_2^{args.log_n}",
         "value": round(pts_per_sec, 2),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / cpu_pts_per_sec, 4),
+        "vs_native_cpu_this_box": round(pts_per_sec / native, 4),
         "backend": backend,
         "window_bits": window_bits,
     }))

@@ -10,9 +10,14 @@ yields all bucket sums; the classic sum_j j*S_j reduction becomes a
 suffix-scan plus tree fold. Everything is static-shaped vector code.
 
 The per-window loop runs under lax.map (sequential, bounds peak memory to
-one window's gather). The final cross-window Horner fold (256 doublings)
-is tiny and runs on host over exact ints, where the Jacobian->affine
-inversion has to happen anyway.
+one window's gather). Round-3 ablation note: batching the per-window
+coordinate gathers in groups of G windows (one G*N-row gather, u16 or
+u32-packed) LOSES end-to-end at 2^20 w13 despite winning a standalone
+gather microbench — per-window u16 910k pts/s vs grouped-u16 cap2/4/8 =
+825k/779k/750k and grouped-u32 687k — so the grouped path was removed.
+The final cross-window Horner fold (256 doublings) is tiny and runs on
+host over exact ints, where the Jacobian->affine inversion has to happen
+anyway.
 """
 
 from __future__ import annotations
@@ -161,83 +166,17 @@ def tile_scans_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
     return cp.g1_tile_scan_madd, cp.g1_tile_scan
 
 
-def _group_size(n_windows: int, cap: int = 8) -> int:
-    """Largest divisor of n_windows <= cap: the per-window coordinate
-    gathers are batched in groups of this size (one gather of G*N rows
-    instead of G gathers of N — measured 3.0-3.6x cheaper per row at 2^20;
-    the XLA gather cost is dominated by fixed per-launch overhead, not
-    bytes; scripts/bench_gather2.py)."""
-    for g in range(cap, 0, -1):
-        if n_windows % g == 0:
-            return g
-    return 1
-
-
-def _unpack_u32_limbs(words: jnp.ndarray) -> jnp.ndarray:
-    """(..., K) uint32 words -> (..., 2K) uint32 16-bit limbs (LE order)."""
-    lo = words & jnp.uint32(0xFFFF)
-    hi = words >> 16
-    return jnp.stack([lo, hi], axis=-1).reshape(words.shape[:-1] + (2 * words.shape[-1],))
-
-
-def _grouped_window_sums_affine(
-    F, xs, ys, orders, keys, window_bits, combine, leaf, tscans
-):
-    """Window sums for the affine-u16 fast path with GROUPED gathers:
-    the (W, N) per-window permutations are applied in groups of G windows
-    through ONE u32-row gather each (see _group_size). The uint16 storage
-    rows are bitcast to u32 words, so the gather moves half the elements
-    AND the unpack doubles as the kernel-width widen."""
-    ident = tuple(jnp.asarray(c) for c in cj.proj_identity_const(F))
+def _bucket_window_sum(combine, leaf, tscans, pts, keys, B, ident):
+    """One window's Pippenger sum from digit-sorted points: bucket
+    reductions, then sum_{j=1}^{B-1} j*S_j as a reversed suffix scan + fold."""
     ts_leaf, ts_gen = tscans
-    B = 1 << window_bits
-    W, n = orders.shape
-    G = _group_size(W)
-
-    def to_words(a):  # (N, ...) 16-bit limbs (any storage dtype) -> (N, K) u32 rows
-        flat = a.reshape(n, -1)
-        if flat.dtype != jnp.uint16:
-            # limb values are 16-bit regardless of storage width (sharded
-            # callers stage uint32) — narrowing is lossless and keeps the
-            # pack-two-limbs-per-word bitcast valid.
-            flat = flat.astype(jnp.uint16)
-        return jax.lax.bitcast_convert_type(
-            flat.reshape(n, flat.shape[1] // 2, 2), jnp.uint32
-        )
-
-    xw, yw = to_words(xs), to_words(ys)
-    coord_shape = xs.shape[1:]  # (16,) G1 / (2, 16) G2
-
-    def per_group(args):
-        o_g, k_g = args  # (G, N)
-        flat_idx = o_g.reshape(-1)
-        gx = xw.at[flat_idx].get(mode="promise_in_bounds")
-        gy = yw.at[flat_idx].get(mode="promise_in_bounds")
-        gx = gx.reshape((G, n) + gx.shape[1:])
-        gy = gy.reshape((G, n) + gy.shape[1:])
-
-        def one(a):
-            gxi, gyi, k_row = a
-            x_l = _unpack_u32_limbs(gxi).reshape((n,) + coord_shape)
-            y_l = _unpack_u32_limbs(gyi).reshape((n,) + coord_shape)
-            pts = cj.affine_to_proj(F, x_l, y_l)
-            buckets = segments.reduce_by_sorted_key(
-                combine, pts, k_row, B, ident,
-                combine_leaf=leaf, tile_scan=ts_leaf, tile_scan_general=ts_gen,
-            )
-            rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)
-            suffix = segments.inclusive_scan(combine, rev, ident, tile_scan=ts_gen)
-            return segments.fold(combine, suffix, ident, tile_scan=ts_gen)
-
-        return jax.lax.map(one, (gx, gy, k_g))
-
-    sums = jax.lax.map(
-        per_group,
-        (orders.reshape(W // G, G, n), keys.reshape(W // G, G, n)),
+    buckets = segments.reduce_by_sorted_key(
+        combine, pts, keys, B, ident,
+        combine_leaf=leaf, tile_scan=ts_leaf, tile_scan_general=ts_gen,
     )
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((W,) + x.shape[2:]), sums
-    )
+    rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
+    suffix = segments.inclusive_scan(combine, rev, ident, tile_scan=ts_gen)
+    return segments.fold(combine, suffix, ident, tile_scan=ts_gen)
 
 
 def _window_sums_one_chunk(
@@ -264,20 +203,6 @@ def _window_sums_one_chunk(
         leaf = leaf_combine_for(F)
     if tscans is None:
         tscans = tile_scans_for(F)
-    ts_leaf, ts_gen = tscans
-
-    if affine and not signed:
-        # grouped-gather fast path (see _grouped_window_sums_affine)
-        if precomp is not None:
-            orders, keys = precomp
-        else:
-            digits = window_digits(scalars, window_bits)  # (W, N)
-            orders = jnp.argsort(digits, axis=-1).astype(jnp.int32)
-            keys = jnp.take_along_axis(digits, orders, axis=-1)
-        xs, ys = points
-        return _grouped_window_sums_affine(
-            F, xs, ys, orders, keys, window_bits, combine, leaf, tscans
-        )
 
     if precomp is not None:
         # (orders, keys) from window_orders — unsigned pipeline only (the
@@ -309,8 +234,12 @@ def _window_sums_one_chunk(
             # two narrow u16 gathers measure faster than one packed wide
             # row (731.5k vs 717.2k pts/s at 2^20 w16)
             xs, ys = points
-            xg = xs[order].astype(jnp.uint32)
-            yg = ys[order].astype(jnp.uint32)
+            xg = xs.at[order].get(
+                mode="promise_in_bounds", unique_indices=True
+            ).astype(jnp.uint32)
+            yg = ys.at[order].get(
+                mode="promise_in_bounds", unique_indices=True
+            ).astype(jnp.uint32)
             pts = cj.affine_to_proj(F, xg, yg)
         else:
             pts = jax.tree_util.tree_map(lambda a: a[order], points)
@@ -321,14 +250,7 @@ def _window_sums_one_chunk(
             negs = negm[order]
             X, Y, Z = pts
             pts = (X, F.select(negs, F.neg(Y), Y), Z)
-        buckets = segments.reduce_by_sorted_key(
-            combine, pts, keys, B, ident,
-            combine_leaf=leaf, tile_scan=ts_leaf, tile_scan_general=ts_gen,
-        )
-        # sum_{j=1}^{B-1} j * S_j  ==  sum of suffix sums of S_{B-1}..S_1.
-        rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
-        suffix = segments.inclusive_scan(combine, rev, ident, tile_scan=ts_gen)
-        return segments.fold(combine, suffix, ident, tile_scan=ts_gen)
+        return _bucket_window_sum(combine, leaf, tscans, pts, keys, B, ident)
 
     return jax.lax.map(per_window, mapped)
 
