@@ -202,6 +202,71 @@ def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.n
     return np.asarray(plain)[1::2]
 
 
+class SetupSelfCheckError(AssertionError):
+    """A device-generated setup section disagrees with host exact math."""
+
+
+def _decode_row_g1(sec: G1Section, i: int):
+    from ..constants import MONT_R_INV_Q, Q
+    from ..ops import limbs as limb_codec
+
+    row = sec.limbs[i]
+    x = limb_codec.limbs_to_int(row[0])
+    y = limb_codec.limbs_to_int(row[1])
+    if x == 0 and y == 0:
+        return None
+    return (x * MONT_R_INV_Q % Q, y * MONT_R_INV_Q % Q)
+
+
+def _decode_row_g2(sec: G2Section, i: int):
+    from ..constants import MONT_R_INV_Q, Q
+    from ..ops import limbs as limb_codec
+
+    row = sec.limbs[i]
+    raw = [limb_codec.limbs_to_int(row[j]) for j in range(4)]
+    if all(v == 0 for v in raw):
+        return None
+    v = [r * MONT_R_INV_Q % Q for r in raw]
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
+def _selfcheck_section(name, sec, scalars, g2=False, samples=4):
+    """Spot-pair random rows of a device-generated section against the
+    exact host fixed-base ladder (scalars known), or at least on-curve
+    membership (scalars unknown, e.g. the device-iFFT'd H query).
+
+    A corrupt device-generated key must fail AT SETUP, not as an opaque
+    proof-verification failure hours later — the round-2 lazy-
+    canonicalization bug corrupted ~half the G2 rows of every device
+    setup key and was only caught at proof time (VERDICT r2 missing #2)."""
+    import random
+
+    n = len(sec)
+    if n == 0:
+        return
+    rng = random.Random(0xC0FFEE ^ n)
+    idxs = sorted(set(rng.randrange(n) for _ in range(samples)))
+    curve = rc.G2 if g2 else rc.G1
+    decode = _decode_row_g2 if g2 else _decode_row_g1
+    ladder = (
+        rc.FixedBaseLadder(curve, rc.g2_generator() if g2 else rc.g1_generator())
+        if scalars is not None
+        else None
+    )
+    for i in idxs:
+        got = decode(sec, i)
+        if scalars is not None:
+            want = ladder.mul(scalars[i] % R_SCALAR)
+            if got != want:
+                raise SetupSelfCheckError(
+                    f"setup self-check: section {name} row {i} != g*s (host)"
+                )
+        elif got is not None and not curve.is_on_curve(got):
+            raise SetupSelfCheckError(
+                f"setup self-check: section {name} row {i} is off-curve"
+            )
+
+
 def generate_parameters_from_matrices(
     matrix_a: List[List[Tuple[int, int]]],
     matrix_b: List[List[Tuple[int, int]]],
@@ -247,6 +312,17 @@ def generate_parameters_from_matrices(
     h_limbs = _h_scalar_limbs_device(domain_size, t, delta_inv)
     hx, hy = fb.fixed_base_points_from_limbs(h_limbs)
     h_query = G1Section(np.stack([hx, hy], axis=1).astype(np.uint16))
+
+    # Certify the device-generated sections against host exact math before
+    # anything downstream can consume a corrupt key (see _selfcheck_section).
+    ic_scalars = [combined[i] * gamma_inv % R_SCALAR for i in range(num_inputs)]
+    l_scalars = [combined[i] * delta_inv % R_SCALAR for i in range(num_inputs, num_vars)]
+    _selfcheck_section("ic", gamma_abc_sec, ic_scalars)
+    _selfcheck_section("l_query", l_query, l_scalars)
+    _selfcheck_section("a_query", a_query, a_t)
+    _selfcheck_section("b_g1_query", b_g1_query, b_t)
+    _selfcheck_section("b_g2_query", b_g2_query, b_t, g2=True)
+    _selfcheck_section("h_query", h_query, None)  # scalars device-only: on-curve
 
     # tiny host pieces
     g1_ladder = rc.FixedBaseLadder(rc.G1, rc.g1_generator())

@@ -172,3 +172,33 @@ def test_proj_to_affine_accepts_lazy_coordinates():
                     lc.limbs_to_int(ay[i]) * rinv % Q,
                 )
                 assert got == p, f"g1 row {i}"
+
+
+def test_setup_selfcheck_catches_corrupt_section():
+    """A corrupted device-generated section must raise at setup time, not
+    surface as an opaque proof-verification failure (VERDICT r2)."""
+    import numpy as np
+    import pytest
+
+    from circom_compat_tpu.circom.zkey import G1Section
+    from circom_compat_tpu.models.setup import (
+        SetupSelfCheckError,
+        _selfcheck_section,
+    )
+    from circom_compat_tpu.ops import curve_jax as cj
+    from circom_compat_tpu.refmath import curve as rc
+
+    scalars = [3, 7, 11, 19]
+    pts = [rc.G1.mul(rc.g1_generator(), s) for s in scalars]
+    xs, ys = cj.encode_g1_affine(pts)
+    sec = G1Section(np.stack([xs, ys], axis=1).astype(np.uint16))
+    _selfcheck_section("ok", sec, scalars)  # honest section passes
+
+    bad = sec.limbs.copy()
+    bad[2, 0, 0] ^= 1  # flip one limb bit of row 2's x
+    with pytest.raises(SetupSelfCheckError):
+        _selfcheck_section("bad", G1Section(bad), scalars, samples=32)
+
+    # unknown-scalar mode (H query): off-curve row must be caught too
+    with pytest.raises(SetupSelfCheckError):
+        _selfcheck_section("bad_h", G1Section(bad), None, samples=32)
