@@ -70,12 +70,20 @@ def child_msm(args):
 
     # Bases: random multiples of the generator (bases only need to be valid
     # curve points); tiled host-side to size n.
-    base = rc.g1_generator()
-    seed_pts = [rc.G1.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
-    xs0, ys0 = cj.encode_g1_affine(seed_pts)
+    g2 = args.curve == "g2"
+    if g2:
+        base = rc.g2_generator()
+        seed_pts = [rc.G2.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
+        xs0, ys0 = cj.encode_g2_affine(seed_pts)
+        adapter = cj.FQ2_ADAPTER
+    else:
+        base = rc.g1_generator()
+        seed_pts = [rc.G1.mul(base, rng.randrange(1, 1 << 64)) for _ in range(256)]
+        xs0, ys0 = cj.encode_g1_affine(seed_pts)
+        adapter = cj.FQ_ADAPTER
     reps = n // 256
-    xs = np.tile(xs0, (reps, 1)).astype(np.uint16)
-    ys = np.tile(ys0, (reps, 1)).astype(np.uint16)
+    xs = np.tile(xs0, (reps,) + (1,) * (xs0.ndim - 1)).astype(np.uint16)
+    ys = np.tile(ys0, (reps,) + (1,) * (ys0.ndim - 1)).astype(np.uint16)
     scalars = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
 
     xs16, ys16, sc = jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(scalars)
@@ -83,13 +91,13 @@ def child_msm(args):
 
     # Compile once; np.asarray forces full materialization (block_until_ready
     # proved unreliable through the remote-TPU tunnel).
-    sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, window_bits)
+    sums = run(adapter, xs16, ys16, sc, window_bits)
     _ = [np.asarray(c) for c in sums]
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        sums = run(cj.FQ_ADAPTER, xs16, ys16, sc, window_bits)
+        sums = run(adapter, xs16, ys16, sc, window_bits)
         _ = [np.asarray(c) for c in sums]
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -102,15 +110,21 @@ def child_msm(args):
     # so vs_baseline never flatters the chip against a weak local CPU.
     native = _cpu_baseline_pts_per_sec()
     cpu_pts_per_sec = max(native, 1e6)
-    print(json.dumps({
-        "metric": f"g1_msm_points_per_sec_per_chip_2^{args.log_n}",
+    rec = {
+        "metric": f"{args.curve}_msm_points_per_sec_per_chip_2^{args.log_n}",
         "value": round(pts_per_sec, 2),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / cpu_pts_per_sec, 4),
         "vs_native_cpu_this_box": round(pts_per_sec / native, 4),
         "backend": backend,
         "window_bits": window_bits,
-    }))
+    }
+    if g2:
+        # no measured G2 CPU baseline exists (native Pippenger is G1-only);
+        # don't fabricate a ratio.
+        rec["vs_baseline"] = None
+        rec.pop("vs_native_cpu_this_box")
+    print(json.dumps(rec))
 
 
 def _cpu_baseline_pts_per_sec() -> float:
@@ -179,7 +193,7 @@ def run_guarded(args, argv):
     metric = (
         "e2e_prove_core_complex_10000_steady_state"
         if args.e2e
-        else f"g1_msm_points_per_sec_per_chip_2^{args.log_n}"
+        else f"{args.curve}_msm_points_per_sec_per_chip_2^{args.log_n}"
     )
     unit = "s" if args.e2e else "points/s"
 
@@ -263,6 +277,7 @@ def run_guarded(args, argv):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=20)
+    ap.add_argument("--curve", choices=["g1", "g2"], default="g1")
     ap.add_argument("--window-bits", type=int, default=0,
                     help="0 = auto (ops/msm.pick_window_bits)")
     ap.add_argument("--repeats", type=int, default=3)
