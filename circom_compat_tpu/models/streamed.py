@@ -167,12 +167,16 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
 
 
 def _stream_section(run, acc, xs_host, ys_host, sc_host, chunk: int):
-    """Accumulate window sums over host chunks. Last chunk zero-padded
-    (zero scalars land in bucket 0, all-zero affine rows decode to
-    infinity — both ignored by construction)."""
+    """Accumulate window sums over host chunks, DOUBLE-BUFFERED: chunk i+1
+    is sliced/padded and its device_put issued before chunk i's window-sum
+    result is consumed, so the host prep + H2D of the next chunk overlaps
+    the device compute of the current one (jax dispatch is async; nothing
+    here forces a result). Last chunk zero-padded (zero scalars land in
+    bucket 0, all-zero affine rows decode to infinity — both ignored by
+    construction)."""
     n = xs_host.shape[0]
-    sums = None
-    for lo in range(0, n, chunk):
+
+    def stage(lo):
         hi = min(lo + chunk, n)
         xs = np.asarray(xs_host[lo:hi], dtype=np.uint16)
         ys = np.asarray(ys_host[lo:hi], dtype=np.uint16)
@@ -182,8 +186,15 @@ def _stream_section(run, acc, xs_host, ys_host, sc_host, chunk: int):
             xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:], xs.dtype)])
             ys = np.concatenate([ys, np.zeros((pad,) + ys.shape[1:], ys.dtype)])
             sc = np.concatenate([sc, np.zeros((pad,) + sc.shape[1:], sc.dtype)])
-        part = run(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(sc))
+        return (jax.device_put(xs), jax.device_put(ys), jax.device_put(sc))
+
+    sums = None
+    cur = stage(0)
+    for lo in range(0, n, chunk):
+        nxt = stage(lo + chunk) if lo + chunk < n else None
+        part = run(*cur)
         sums = part if sums is None else acc(sums, part)
+        cur = nxt
     return sums
 
 
