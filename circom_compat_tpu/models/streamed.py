@@ -146,56 +146,156 @@ def _witness_arrays(spk: StreamedProvingKey) -> dict:
     return spk._cache["arrays"]
 
 
+def _init_buckets(F, window_bits: int):
+    """(W, B, point) all-identity bucket accumulator (concrete buffers so
+    the chunk jits can donate them)."""
+    W = msm_ops.num_windows(window_bits)
+    B = 1 << window_bits
+    return tuple(
+        jnp.tile(jnp.asarray(c), (W, B) + (1,) * np.ndim(c)).astype(jnp.uint32)
+        for c in cj.proj_identity_const(F)
+    )
+
+
 def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
-    """One fixed-shape window-sum graph per curve + the fold combine."""
+    """Fixed-shape per-chunk graphs (VERDICT r2 item 4 rework):
+
+    - `orders`: one per-window argsort of a scalar chunk, SHARED by the
+      A/B1/B2 bucket updates (those three MSMs use the same assignment
+      scalars — same sharing the resident prover gets from window_orders).
+    - `bkt_*`: gather + segmented bucket reduce for one chunk, folded into
+      a donated (W, B, pt) accumulator in the same dispatch. The O(B log B)
+      suffix scan is NOT paid per chunk: bucket sums are additive, so
+      `scan_*` runs once per MSM at the end (ops/msm.py
+      bucket_sums_affine_impl / windows_from_buckets_impl).
+    - scalars travel as uint16 (limbs are 16-bit values): half the H2D
+      bytes of the uint32 encoding; widened on device.
+    """
     key = ("chunk", window_bits)
     if key not in spk._cache:
-        g1 = jax.jit(
-            lambda xs, ys, sc: msm_ops.window_sums_affine_impl(
-                cj.FQ_ADAPTER, xs, ys, sc, window_bits
+        FQ, FQ2 = cj.FQ_ADAPTER, cj.FQ2_ADAPTER
+        cmb1, cmb2 = msm_ops.combine_for(FQ), msm_ops.combine_for(FQ2)
+
+        def orders_fn(sc16):
+            return msm_ops.window_orders(
+                sc16.astype(jnp.uint32), window_bits
             )
-        )
-        g2 = jax.jit(
-            lambda xs, ys, sc: msm_ops.window_sums_affine_impl(
-                cj.FQ2_ADAPTER, xs, ys, sc, window_bits
-            )
-        )
-        acc_g1 = jax.jit(lambda a, b: cj.proj_add(cj.FQ_ADAPTER, a, b))
-        acc_g2 = jax.jit(lambda a, b: cj.proj_add(cj.FQ2_ADAPTER, a, b))
-        spk._cache[key] = (g1, g2, acc_g1, acc_g2)
+
+        def bkt_shared(F, cmb):
+            def run(xs, ys, orders, keys, acc):
+                b = msm_ops.bucket_sums_affine_impl(
+                    F, xs, ys, None, window_bits, precomp=(orders, keys)
+                )
+                return cmb(acc, b)
+            return run
+
+        def bkt_own(F, cmb):
+            def run(xs, ys, sc16, acc):
+                b = msm_ops.bucket_sums_affine_impl(
+                    F, xs, ys, sc16.astype(jnp.uint32), window_bits
+                )
+                return cmb(acc, b)
+            return run
+
+        spk._cache[key] = {
+            "orders": jax.jit(orders_fn),
+            "bkt_g1_pre": jax.jit(
+                bkt_shared(FQ, cmb1), donate_argnums=(4,)
+            ),
+            "bkt_g2_pre": jax.jit(
+                bkt_shared(FQ2, cmb2), donate_argnums=(4,)
+            ),
+            "bkt_g1": jax.jit(bkt_own(FQ, cmb1), donate_argnums=(3,)),
+            "scan_g1": jax.jit(
+                lambda b: msm_ops.windows_from_buckets_impl(FQ, b)
+            ),
+            "scan_g2": jax.jit(
+                lambda b: msm_ops.windows_from_buckets_impl(FQ2, b)
+            ),
+        }
     return spk._cache[key]
 
 
-def _stream_section(run, acc, xs_host, ys_host, sc_host, chunk: int):
-    """Accumulate window sums over host chunks, DOUBLE-BUFFERED: chunk i+1
-    is sliced/padded and its device_put issued before chunk i's window-sum
-    result is consumed, so the host prep + H2D of the next chunk overlaps
-    the device compute of the current one (jax dispatch is async; nothing
-    here forces a result). Last chunk zero-padded (zero scalars land in
-    bucket 0, all-zero affine rows decode to infinity — both ignored by
-    construction)."""
+def _stage_rows(xs_host, ys_host, lo: int, chunk: int):
+    """Slice/zero-pad one chunk of affine storage rows and start its H2D.
+    Rows past the section end are all-zero = infinity (neutral in ANY
+    bucket under the complete group law), so short sections in a shared
+    chunk loop are safe even where the shared scalar is nonzero."""
     n = xs_host.shape[0]
+    lo_c = min(max(lo, 0), n)
+    hi_c = min(lo + chunk, n)
+    xs = np.zeros((chunk,) + xs_host.shape[1:], np.uint16)
+    ys = np.zeros((chunk,) + ys_host.shape[1:], np.uint16)
+    if hi_c > lo_c:
+        xs[: hi_c - lo_c] = xs_host[lo_c:hi_c]
+        ys[: hi_c - lo_c] = ys_host[lo_c:hi_c]
+    return jax.device_put(xs), jax.device_put(ys)
+
+
+def _stage_scalars(sc_host, lo: int, chunk: int):
+    """uint16 slice/pad of plain-canonical scalar limbs (values < 2^16)."""
+    n = sc_host.shape[0]
+    hi = min(lo + chunk, n)
+    sc = np.zeros((chunk, 16), np.uint16)
+    if hi > lo:
+        sc[: hi - lo] = np.asarray(sc_host[lo:hi], np.uint32).astype(np.uint16)
+    return jax.device_put(sc)
+
+
+def _stream_shared(jits, g1_secs, g2_sec, sc_host, chunk: int, window_bits):
+    """A/B1 (G1) + B2 (G2) bucket accumulation over host chunks with ONE
+    shared per-window sort per chunk. Double-buffered: chunk i+1's host
+    slice + H2D is issued before chunk i's bucket update is consumed (jax
+    dispatch is async; nothing forces a result inside the loop)."""
+    n = max(
+        max(s[0].shape[0] for s in g1_secs),
+        g2_sec[0].shape[0],
+        sc_host.shape[0],
+    )
+    accs_g1 = [_init_buckets(cj.FQ_ADAPTER, window_bits) for _ in g1_secs]
+    acc_g2 = _init_buckets(cj.FQ2_ADAPTER, window_bits)
 
     def stage(lo):
-        hi = min(lo + chunk, n)
-        xs = np.asarray(xs_host[lo:hi], dtype=np.uint16)
-        ys = np.asarray(ys_host[lo:hi], dtype=np.uint16)
-        sc = np.asarray(sc_host[lo:hi])
-        if hi - lo < chunk:
-            pad = chunk - (hi - lo)
-            xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:], xs.dtype)])
-            ys = np.concatenate([ys, np.zeros((pad,) + ys.shape[1:], ys.dtype)])
-            sc = np.concatenate([sc, np.zeros((pad,) + sc.shape[1:], sc.dtype)])
-        return (jax.device_put(xs), jax.device_put(ys), jax.device_put(sc))
+        rows = [_stage_rows(xs, ys, lo, chunk) for xs, ys in g1_secs]
+        rows.append(_stage_rows(*g2_sec, lo, chunk))
+        return rows, _stage_scalars(sc_host, lo, chunk)
 
-    sums = None
     cur = stage(0)
     for lo in range(0, n, chunk):
         nxt = stage(lo + chunk) if lo + chunk < n else None
-        part = run(*cur)
-        sums = part if sums is None else acc(sums, part)
+        rows, sc16 = cur
+        orders, keys = jits["orders"](sc16)
+        for i, (xs, ys) in enumerate(rows[:-1]):
+            accs_g1[i] = jits["bkt_g1_pre"](xs, ys, orders, keys, accs_g1[i])
+        acc_g2 = jits["bkt_g2_pre"](*rows[-1], orders, keys, acc_g2)
         cur = nxt
-    return sums
+    return (
+        [jits["scan_g1"](a) for a in accs_g1],
+        jits["scan_g2"](acc_g2),
+    )
+
+
+def _stream_own(jits, xs_host, ys_host, sc_host, chunk: int, window_bits):
+    """Bucket accumulation for a section with its own scalars (L, H)."""
+    n = min(xs_host.shape[0], sc_host.shape[0])
+    acc = _init_buckets(cj.FQ_ADAPTER, window_bits)
+    cur = (
+        _stage_rows(xs_host, ys_host, 0, chunk),
+        _stage_scalars(sc_host, 0, chunk),
+    )
+    for lo in range(0, n, chunk):
+        nxt = (
+            (
+                _stage_rows(xs_host, ys_host, lo + chunk, chunk),
+                _stage_scalars(sc_host, lo + chunk, chunk),
+            )
+            if lo + chunk < n
+            else None
+        )
+        (xs, ys), sc16 = cur
+        acc = jits["bkt_g1"](xs, ys, sc16, acc)
+        cur = nxt
+    return jits["scan_g1"](acc)
 
 
 def prove_streamed(
@@ -227,37 +327,29 @@ def prove_streamed(
             )
         )
 
-    g1_run, g2_run, acc_g1, acc_g2 = _chunk_jits(spk, window_bits)
+    jits = _chunk_jits(spk, window_bits)
 
-    scalars = (
-        asg_plain_np[: spk.n_vars],
-        asg_plain_np[: spk.n_vars],
-        asg_plain_np[spk.num_inputs : spk.num_inputs + spk.aux_len],
-        h_plain,
-    )
-    g1_sums = []
-    for name, (xs_h, ys_h), sc_h in zip(
-        ("a", "b1", "l", "h"), spk.g1_sections, scalars
-    ):
-        n = min(xs_h.shape[0], sc_h.shape[0])
-        with trace.stage(f"prove.msm_{name}"):
-            g1_sums.append(
-                _stream_section(
-                    g1_run, acc_g1, xs_h[:n], ys_h[:n], sc_h[:n], chunk
-                )
-            )
+    asg_sc = asg_plain_np[: spk.n_vars]
+    sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
+    with trace.stage("prove.msm_a_b1_b2"):
+        (sum_a, sum_b1), g2_sums = _stream_shared(
+            jits, [sec_a, sec_b1], spk.g2_section, asg_sc, chunk, window_bits
+        )
+    with trace.stage("prove.msm_l"):
+        sum_l = _stream_own(
+            jits, *sec_l,
+            asg_plain_np[spk.num_inputs : spk.num_inputs + spk.aux_len],
+            chunk, window_bits,
+        )
+    with trace.stage("prove.msm_h"):
+        sum_h = _stream_own(jits, *sec_h, h_plain, chunk, window_bits)
+
     # stack to the (4, W, pt) layout assemble_proof expects
     g1_sums = jax.tree_util.tree_map(
-        lambda *leaves: np.stack([np.asarray(x) for x in leaves]), *g1_sums
+        lambda *leaves: np.stack([np.asarray(x) for x in leaves]),
+        *(sum_a, sum_b1, sum_l, sum_h),
     )
-
-    xs2, ys2 = spk.g2_section
-    n2 = min(xs2.shape[0], asg_plain_np.shape[0])
-    with trace.stage("prove.msm_b2"):
-        g2_sums = _stream_section(
-            g2_run, acc_g2, xs2[:n2], ys2[:n2], asg_plain_np[:n2], chunk
-        )
-        g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
+    g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
 
     with trace.stage("prove.assemble"):
         return gj.assemble_proof(spk, r, s, g1_sums, g2_sums, window_bits)

@@ -166,22 +166,33 @@ def tile_scans_for(F: cj.FieldAdapter, use_pallas: Optional[bool] = None):
     return cp.g1_tile_scan_madd, cp.g1_tile_scan
 
 
-def _bucket_window_sum(combine, leaf, tscans, pts, keys, B, ident):
-    """One window's Pippenger sum from digit-sorted points: bucket
-    reductions, then sum_{j=1}^{B-1} j*S_j as a reversed suffix scan + fold."""
+def _bucket_reduce(combine, leaf, tscans, pts, keys, B, ident):
+    """One window's (B, pt) bucket sums from digit-sorted points."""
     ts_leaf, ts_gen = tscans
-    buckets = segments.reduce_by_sorted_key(
+    return segments.reduce_by_sorted_key(
         combine, pts, keys, B, ident,
         combine_leaf=leaf, tile_scan=ts_leaf, tile_scan_general=ts_gen,
     )
+
+
+def _scan_buckets(combine, tscans, buckets, ident):
+    """sum_{j=1}^{B-1} j*S_j as a reversed suffix scan + tree fold."""
+    _, ts_gen = tscans
     rev = jax.tree_util.tree_map(lambda x: x[:0:-1], buckets)  # (B-1, ...)
     suffix = segments.inclusive_scan(combine, rev, ident, tile_scan=ts_gen)
     return segments.fold(combine, suffix, ident, tile_scan=ts_gen)
 
 
+def _bucket_window_sum(combine, leaf, tscans, pts, keys, B, ident):
+    """One window's Pippenger sum from digit-sorted points: bucket
+    reductions, then sum_{j=1}^{B-1} j*S_j as a reversed suffix scan + fold."""
+    buckets = _bucket_reduce(combine, leaf, tscans, pts, keys, B, ident)
+    return _scan_buckets(combine, tscans, buckets, ident)
+
+
 def _window_sums_one_chunk(
     F, points, scalars, window_bits, combine=None, leaf=None, tscans=None,
-    signed=None, affine=False, precomp=None,
+    signed=None, affine=False, precomp=None, want_buckets=False,
 ):
     """affine=True: `points` is an (xs, ys) pair of affine Montgomery limb
     arrays in their STORAGE dtype (uint16 zkey sections) — the per-window
@@ -250,6 +261,8 @@ def _window_sums_one_chunk(
             negs = negm[order]
             X, Y, Z = pts
             pts = (X, F.select(negs, F.neg(Y), Y), Z)
+        if want_buckets:
+            return _bucket_reduce(combine, leaf, tscans, pts, keys, B, ident)
         return _bucket_window_sum(combine, leaf, tscans, pts, keys, B, ident)
 
     return jax.lax.map(per_window, mapped)
@@ -350,6 +363,44 @@ def window_sums_affine_impl(
         F, (xs, ys), scalars, window_bits, chunk_points, use_pallas, signed,
         affine=True, precomp=precomp,
     )
+
+
+def bucket_sums_affine_impl(
+    F: cj.FieldAdapter,
+    xs: jnp.ndarray,  # (N, ...) affine Montgomery limbs, storage dtype
+    ys: jnp.ndarray,
+    scalars: Optional[jnp.ndarray],  # (N, 16) plain canonical; None w/ precomp
+    window_bits: int,
+    use_pallas: Optional[bool] = None,
+    precomp=None,
+) -> cj.Point:
+    """(W, B, point) Pippenger BUCKET sums, suffix scan deferred.
+
+    Bucket sums are additive across point subsets, so a streamed prover
+    (models/streamed.py) folds these per chunk and runs the O(B log B)
+    suffix scan ONCE per MSM instead of once per chunk — per-chunk work
+    then scales with the chunk size only. Unsigned pipeline (bucket 0 is
+    kept in the output but dropped by the scan)."""
+    return _window_sums_one_chunk(
+        F, (xs, ys), scalars, window_bits,
+        combine_for(F, use_pallas), leaf_combine_for(F, use_pallas),
+        tile_scans_for(F, use_pallas), signed=False, affine=True,
+        precomp=precomp, want_buckets=True,
+    )
+
+
+def windows_from_buckets_impl(
+    F: cj.FieldAdapter, buckets: cj.Point, use_pallas: Optional[bool] = None
+) -> cj.Point:
+    """(W, B, pt) bucket sums -> (W, pt) window sums (the deferred scan)."""
+    combine = combine_for(F, use_pallas)
+    tscans = tile_scans_for(F, use_pallas)
+    ident = tuple(jnp.asarray(c) for c in cj.proj_identity_const(F))
+
+    def one(b):
+        return _scan_buckets(combine, tscans, b, ident)
+
+    return jax.lax.map(one, buckets)
 
 
 # ---------------------------------------------------------------------------

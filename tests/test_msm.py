@@ -142,3 +142,47 @@ def test_msm_precomputed_orders_match_inline():
     for a, b in zip(plain, shared):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert _fold_windows_host_list(shared, w) == rc.G1.msm(pts, scalars)
+
+
+def test_msm_deferred_scan_buckets_match_window_sums():
+    """bucket_sums_affine_impl + windows_from_buckets_impl (the streamed
+    prover's per-chunk accumulation with ONE deferred suffix scan,
+    models/streamed.py) must reproduce window_sums_affine_impl exactly —
+    including bucket additivity across point subsets."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    n, w = 48, 8
+    pts = _rand_g1(n)
+    pts[2] = None
+    scalars = [RNG.randrange(R_SCALAR) for _ in range(n)]
+    scalars[0] = 0
+    xs, ys = cj.encode_g1_affine(pts)
+    xs16 = jnp.asarray(xs).astype(jnp.uint16)
+    ys16 = jnp.asarray(ys).astype(jnp.uint16)
+    sc = jnp.asarray(fj.encode_plain(scalars, fj.FR))
+
+    want = msm_ops.window_sums_affine_impl(cj.FQ_ADAPTER, xs16, ys16, sc, w)
+
+    # whole-set buckets -> deferred scan
+    bkt = msm_ops.bucket_sums_affine_impl(cj.FQ_ADAPTER, xs16, ys16, sc, w)
+    got = msm_ops.windows_from_buckets_impl(cj.FQ_ADAPTER, bkt)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # two-subset accumulation (chunked streaming): buckets add pointwise
+    combine = msm_ops.combine_for(cj.FQ_ADAPTER)
+    h = 32
+    b0 = msm_ops.bucket_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16[:h], ys16[:h], sc[:h], w
+    )
+    b1 = msm_ops.bucket_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16[h:], ys16[h:], sc[h:], w
+    )
+    acc = combine(b0, b1)
+    got2 = msm_ops.windows_from_buckets_impl(cj.FQ_ADAPTER, acc)
+    fa = _fold_windows_host_list(got2, w)
+    assert fa == rc.G1.msm(pts, scalars)
