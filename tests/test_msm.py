@@ -173,9 +173,10 @@ def test_msm_deferred_scan_buckets_match_window_sums():
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # two-subset accumulation (chunked streaming): buckets add pointwise
+    # two-subset accumulation (chunked streaming): buckets add pointwise.
+    # h = n/2 so both subsets share ONE compiled shape.
     combine = msm_ops.combine_for(cj.FQ_ADAPTER)
-    h = 32
+    h = n // 2
     b0 = msm_ops.bucket_sums_affine_impl(
         cj.FQ_ADAPTER, xs16[:h], ys16[:h], sc[:h], w
     )
