@@ -176,6 +176,7 @@ def generate_parameters(
 def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.ndarray:
     """qap.h_query_scalars on device: geometric powers host-side, the 2x
     iFFT on the TPU NTT, odd coefficients as plain (N, 16) limbs."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops import field_jax as fj
@@ -197,8 +198,22 @@ def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.n
     mont = [(v << 256) % R_SCALAR for v in powers]
     enc = limb_codec.ints_to_limbs(mont, dtype=np.uint32)
     plan = ntt.get_plan(size)
-    coeffs = ntt.ifft(plan, jnp.asarray(enc))
-    plain = fj.from_mont_impl(fj.FR, coeffs)
+    log_n = size.bit_length() - 1
+
+    # The twiddle/bitrev tables ride as jit ARGUMENTS: at 2^22 domains this
+    # iFFT runs at size 2^23 and closure-captured tables become ~0.5 GB of
+    # HLO literals, which breaks the axon remote-compile transport (same
+    # rule as groth16_jax._device_arrays).
+    @jax.jit
+    def run(tw_inv, bitrev, n_inv, evals):
+        out = ntt.ntt_core_batched(evals, tw_inv, bitrev, size, log_n)
+        out = fj.mont_mul(fj.FR, out, n_inv)
+        return fj.from_mont_impl(fj.FR, out)
+
+    plain = run(
+        jnp.asarray(plan.tw_inv), jnp.asarray(plan.bitrev),
+        jnp.asarray(plan.n_inv), jnp.asarray(enc),
+    )
     return np.asarray(plain)[1::2]
 
 
