@@ -45,9 +45,18 @@ def jax_cache_dir() -> str:
 
 def enable_compile_cache(min_compile_secs: float = 0.5) -> None:
     """Persistent XLA compile cache — the limb-arithmetic graphs are large
-    and recompiling them every process dominates wall-clock."""
+    and recompiling them every process dominates wall-clock.
+
+    CIRCOM_TPU_NO_COMPILE_CACHE=1 disables it: on XLA:CPU,
+    deserialize_executable re-does codegen, so cache READS of the largest
+    entries can cost more than a cold compile (measured ~150 s deserialize
+    vs ~110 s compile for the sharded prove step)."""
+    import os
+
     import jax
 
+    if os.environ.get("CIRCOM_TPU_NO_COMPILE_CACHE"):
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
         jax.config.update(
