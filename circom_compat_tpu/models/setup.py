@@ -245,10 +245,65 @@ def _decode_row_g2(sec: G2Section, i: int):
     return ((v[0], v[1]), (v[2], v[3]))
 
 
-def _selfcheck_section(name, sec, scalars, g2=False, samples=4):
-    """Spot-pair random rows of a device-generated section against the
-    exact host fixed-base ladder (scalars known), or at least on-curve
-    membership (scalars unknown, e.g. the device-iFFT'd H query).
+def _oncurve_all(name, limbs_u16, g2=False):
+    """Vectorized on-curve membership for EVERY row of a section (ADVICE
+    r3: the 4-row spot check misses localized corruption). Runs on the
+    default jax backend with the XLA limb field ops; all-zero rows
+    (infinity, zkey convention) are exempt. Raises SetupSelfCheckError
+    with the first offending row index."""
+    import jax.numpy as jnp
+
+    from ..ops import field_jax as fj
+
+    a = np.asarray(limbs_u16)
+    n = a.shape[0]
+    if n == 0:
+        return
+    d = jnp.asarray(a).astype(jnp.uint32)
+    inf = ~jnp.any(d != 0, axis=(1, 2))
+    if g2:
+        # Fq2 = Fq[u]/(u^2+1): y^2 == x^3 + B_G2 componentwise.
+        x0, x1, y0, y1 = d[:, 0], d[:, 1], d[:, 2], d[:, 3]
+        b0 = jnp.asarray(fj.encode_mont([rc.B_G2[0]], fj.FQ))
+        b1 = jnp.asarray(fj.encode_mont([rc.B_G2[1]], fj.FQ))
+
+        def f2sqr(c0, c1):
+            return (
+                fj.sub(fj.FQ, fj.mont_sqr(fj.FQ, c0), fj.mont_sqr(fj.FQ, c1)),
+                fj.add(fj.FQ, fj.mont_mul(fj.FQ, c0, c1),
+                       fj.mont_mul(fj.FQ, c0, c1)),
+            )
+
+        xs0, xs1 = f2sqr(x0, x1)
+        # x^3 = x^2 * x
+        xc0 = fj.sub(fj.FQ, fj.mont_mul(fj.FQ, xs0, x0),
+                     fj.mont_mul(fj.FQ, xs1, x1))
+        xc1 = fj.add(fj.FQ, fj.mont_mul(fj.FQ, xs0, x1),
+                     fj.mont_mul(fj.FQ, xs1, x0))
+        ys0, ys1 = f2sqr(y0, y1)
+        ok = (fj.eq(ys0, fj.add(fj.FQ, xc0, jnp.broadcast_to(b0, xc0.shape)))
+              & fj.eq(ys1, fj.add(fj.FQ, xc1, jnp.broadcast_to(b1, xc1.shape))))
+    else:
+        x, y = d[:, 0], d[:, 1]
+        b = jnp.asarray(fj.encode_mont([3], fj.FQ))
+        rhs = fj.add(fj.FQ, fj.mont_mul(fj.FQ, fj.mont_sqr(fj.FQ, x), x),
+                     jnp.broadcast_to(b, x.shape))
+        ok = fj.eq(fj.mont_sqr(fj.FQ, y), rhs)
+    ok = ok | inf
+    if not bool(jnp.all(ok)):
+        bad = int(jnp.argmin(ok))
+        raise SetupSelfCheckError(
+            f"setup self-check: section {name} row {bad} is off-curve "
+            f"({int(jnp.sum(~ok))} rows total)"
+        )
+
+
+def _selfcheck_section(name, sec, scalars, g2=False, samples=None):
+    """Certify a device-generated section: (1) vectorized on-curve check
+    over ALL rows (catches off-curve corruption anywhere), and (2) spot-
+    pair random rows against the exact host fixed-base ladder when the
+    scalars are known (catches on-curve-but-wrong rows probabilistically;
+    sample count scales with section size, ADVICE r3).
 
     A corrupt device-generated key must fail AT SETUP, not as an opaque
     proof-verification failure hours later — the round-2 lazy-
@@ -259,26 +314,24 @@ def _selfcheck_section(name, sec, scalars, g2=False, samples=4):
     n = len(sec)
     if n == 0:
         return
+    _oncurve_all(name, sec.limbs, g2=g2)
+    if scalars is None:
+        return
+    if samples is None:
+        samples = max(4, n >> 16)
     rng = random.Random(0xC0FFEE ^ n)
     idxs = sorted(set(rng.randrange(n) for _ in range(samples)))
     curve = rc.G2 if g2 else rc.G1
     decode = _decode_row_g2 if g2 else _decode_row_g1
-    ladder = (
-        rc.FixedBaseLadder(curve, rc.g2_generator() if g2 else rc.g1_generator())
-        if scalars is not None
-        else None
+    ladder = rc.FixedBaseLadder(
+        curve, rc.g2_generator() if g2 else rc.g1_generator()
     )
     for i in idxs:
         got = decode(sec, i)
-        if scalars is not None:
-            want = ladder.mul(scalars[i] % R_SCALAR)
-            if got != want:
-                raise SetupSelfCheckError(
-                    f"setup self-check: section {name} row {i} != g*s (host)"
-                )
-        elif got is not None and not curve.is_on_curve(got):
+        want = ladder.mul(scalars[i] % R_SCALAR)
+        if got != want:
             raise SetupSelfCheckError(
-                f"setup self-check: section {name} row {i} is off-curve"
+                f"setup self-check: section {name} row {i} != g*s (host)"
             )
 
 

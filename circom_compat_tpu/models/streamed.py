@@ -252,6 +252,21 @@ def _stream_shared(jits, g1_secs, g2_sec, sc_host, chunk: int, window_bits):
         g2_sec[0].shape[0],
         sc_host.shape[0],
     )
+    # Rows past len(sc_host) would be gathered with an implicit ZERO scalar
+    # (bucket 0, dropped) — correct for Groth16's layout only because every
+    # section is <= the assignment length. Fail loudly on a malformed key
+    # instead of silently dropping real points (ADVICE r3).
+    for i, s in enumerate(g1_secs):
+        if s[0].shape[0] > sc_host.shape[0]:
+            raise ValueError(
+                f"streamed prove: G1 section {i} has {s[0].shape[0]} rows "
+                f"but only {sc_host.shape[0]} scalars cover them"
+            )
+    if g2_sec[0].shape[0] > sc_host.shape[0]:
+        raise ValueError(
+            f"streamed prove: G2 section has {g2_sec[0].shape[0]} rows "
+            f"but only {sc_host.shape[0]} scalars cover them"
+        )
     accs_g1 = [_init_buckets(cj.FQ_ADAPTER, window_bits) for _ in g1_secs]
     acc_g2 = _init_buckets(cj.FQ2_ADAPTER, window_bits)
 

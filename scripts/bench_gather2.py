@@ -15,8 +15,12 @@ Variants:
   take-u32-hints  u32 view + hints
   take-pack32     x||y packed into one (N, 32) u16 row (one gather not two)
   take-sorted     iota indices (locality ceiling for take)
-  pallas-dma      DMA-ring row gather (ops/gather_pallas.py)
-  pallas-dma-u32  DMA gather on the u32 view
+
+The pallas-dma variants were removed 2026-08-20 after the decision run
+(.cache/round4_gather2.log): the DMA-ring kernel fails Mosaic
+remote-compile on the axon backend (tpu_compile_helper exit 1, HTTP 500),
+and take-u32-hints won at 17.08 ms / 1.96 GB/s (1.15x vs plain take).
+ops/gather_pallas.py is deleted; see BASELINE.md round-4 table.
 
 Measurement rules (axon tunnel): reps INSIDE one jit via fori_loop,
 checksum output so D2H is tiny, np.asarray to force.
@@ -46,7 +50,6 @@ def main():
     ap.add_argument("--cols", type=int, default=16)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--skip-pallas", action="store_true")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -106,24 +109,6 @@ def main():
     idx4 = jnp.concatenate([jnp.roll(d_idx, k) for k in range(4)])
     bench("take-4x", lambda s, i: jnp.take(s, i, axis=0),
           d_src16, idx4, 4 * n * row_bytes)
-
-    if not args.skip_pallas:
-        from circom_compat_tpu.ops import gather_pallas as gp
-
-        for rb in (1024,):
-            for ring in (16,):
-                bench(
-                    f"pallas-dma-r{ring}b{rb}",
-                    lambda s, i, rb=rb, ring=ring: gp.gather_rows(
-                        s, i, rows_per_block=rb, ring=ring
-                    ),
-                    d_src16, d_idx, n * row_bytes,
-                )
-        bench(
-            "pallas-dma-u32",
-            lambda s, i: gp.gather_rows(s, i),
-            d_src32, d_idx, n * row_bytes,
-        )
 
     if results:
         best = min(results, key=results.get)

@@ -31,7 +31,13 @@ def log(m):
 
 
 def force(tree):
-    return [np.asarray(c).ravel()[:1] for c in jax.tree_util.tree_leaves(tree)]
+    # block_until_ready, NOT np.asarray: a full D2H over the axon tunnel
+    # costs seconds for GB-sized intermediates and poisons stage timings
+    # (first run of this script: "sorts 34.6 s" was ~640 MB of orders+keys
+    # being fetched to host, not compute).
+    for c in jax.tree_util.tree_leaves(tree):
+        if hasattr(c, "block_until_ready"):
+            c.block_until_ready()
 
 
 def steady(fn, *args, reps=3):
