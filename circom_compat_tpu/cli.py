@@ -319,6 +319,59 @@ def cmd_dist_dryrun(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Resident prove server: stage + compile ONCE, serve proofs at
+    steady-state latency over a unix socket (server.py). The TPU answer to
+    the one-time remote-compile cost dominating cold usage (VERDICT r3
+    task 4; the reference's per-process read_zkey+prove has no compile
+    cost to amortize, src/zkey.rs:53-60)."""
+    import time
+
+    from .server import ProveServer
+
+    t_all = time.time()
+    print(f"[serve] loading {args.zkey} ...", flush=True)
+    server = ProveServer(args.zkey, args.wasm)
+    print(f"[serve] zkey load {server.load_s:.1f}s, device staging "
+          f"{server.stage_s:.1f}s; compiling prove core "
+          f"(window_bits={server.window_bits}) ...", flush=True)
+    server.warmup()
+    print(f"[serve] compile+warmup {server.compile_s:.1f}s; "
+          f"cold-to-ready total {time.time()-t_all:.1f}s", flush=True)
+
+    def ready():
+        print(f"[serve] ready on {args.socket}", flush=True)
+
+    server.serve(args.socket, ready_cb=ready)
+    print(f"[serve] shut down after {server.n_proofs} proofs", flush=True)
+    return 0
+
+
+def cmd_prove_client(args) -> int:
+    """Send one prove request to a running `serve` instance."""
+    from .server import request
+
+    req = {}
+    if args.inputs:
+        req["inputs"] = json.load(open(args.inputs))
+    elif args.witness:
+        req["witness_file"] = args.witness
+    else:
+        req["cmd"] = "ping"
+    resp = request(args.socket, req, timeout=args.timeout)
+    if not resp.get("ok"):
+        print(json.dumps(resp), file=sys.stderr)
+        return 1
+    if "proof" in resp:
+        json.dump(resp["proof"], open(args.proof, "w"), indent=1)
+        json.dump(resp["public"], open(args.public, "w"), indent=1)
+        print(f"wrote {args.proof}, {args.public} "
+              f"(prove {resp['prove_s']}s)")
+    else:
+        print(json.dumps(resp))
+    return 0
+
+
 def cmd_verify_onchain(args) -> int:
     """Run the compiled Solidity Groth16 verifier on the in-process EVM
     (evm.py) against a proof — the reference's tests/solidity.rs flow
@@ -453,6 +506,29 @@ def main(argv=None) -> int:
                     help="use the (dcn, shards) two-level mesh")
     dd.add_argument("--timeout", type=float, default=900.0)
     dd.set_defaults(fn=cmd_dist_dryrun)
+
+    sv = sub.add_parser(
+        "serve",
+        help="resident prove server: stage + compile once, then serve "
+             "proofs at steady-state latency over a unix socket",
+    )
+    sv.add_argument("zkey")
+    sv.add_argument("--wasm", default=None,
+                    help="witness wasm so requests can send raw inputs")
+    sv.add_argument("--socket", default="/tmp/circom_tpu_prove.sock")
+    sv.set_defaults(fn=cmd_serve)
+
+    pc = sub.add_parser(
+        "prove-client",
+        help="send one prove request (or ping) to a running `serve`",
+    )
+    pc.add_argument("--socket", default="/tmp/circom_tpu_prove.sock")
+    pc.add_argument("--inputs", default=None, help="inputs json (needs --wasm serve)")
+    pc.add_argument("--witness", default=None, help=".wtns file path")
+    pc.add_argument("--proof", default="proof.json")
+    pc.add_argument("--public", default="public.json")
+    pc.add_argument("--timeout", type=float, default=600.0)
+    pc.set_defaults(fn=cmd_prove_client)
 
     args = ap.parse_args(argv)
     if args.timings:

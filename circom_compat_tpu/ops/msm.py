@@ -22,6 +22,7 @@ anyway.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -34,6 +35,17 @@ from . import field_jax as fj
 from . import segments
 
 SCALAR_BITS = 254  # BN254 Fr
+
+# Windows per batched gather+reduce group (0 = size-tuned auto). The
+# per-window coordinate gathers are the dominant MSM cost (~17 ns/row for
+# 32 B rows); gathering G windows' rows in ONE take amortizes the per-row
+# overhead (~2x at G=4 in scripts/bench_gather2.py `take-4x`). The round-3
+# grouped-gather attempt lost end-to-end because it split the gathered
+# block back into per-window scans (relayout copies); here the G windows
+# stay merged through ONE segmented reduce with global keys
+# window*B + digit — concatenating per-window sorted digit runs with
+# offset keys keeps the key sequence globally sorted, so no split happens.
+MSM_WINDOW_GROUP = int(os.environ.get("CIRCOM_TPU_MSM_GROUP", "0"))
 
 
 def num_windows(window_bits: int) -> int:
@@ -190,9 +202,103 @@ def _bucket_window_sum(combine, leaf, tscans, pts, keys, B, ident):
     return _scan_buckets(combine, tscans, buckets, ident)
 
 
+def _auto_window_group(F: cj.FieldAdapter) -> int:
+    """Measured on-chip (round 4, 2^20 w13, bench.py): grouping LOSES
+    end-to-end — G=1: 915k, G=2: 689k, G=4: 526k, G=5: 544k pts/s —
+    despite the take-4x gather microbench predicting ~2x faster gathers,
+    and even with the G windows merged through ONE segmented reduce (no
+    post-gather split). Stage attribution: scripts/bench_group_stages.py.
+    Default stays 1; the grouped path remains available via
+    CIRCOM_TPU_MSM_GROUP / group= for re-evaluation on other hardware."""
+    return 1
+
+
+def _grouped_window_block(
+    F, xs, ys, orders, keys, negm, window_bits, combine, leaf, tscans,
+    ident, want_buckets,
+):
+    """G windows' Pippenger sums via ONE gather + ONE segmented reduce.
+
+    orders/keys: (G, N) int32 — per-window argsort permutations and the
+    correspondingly sorted digits. negm: optional (G, N) bool in UNSORTED
+    point order (signed pipeline) — True where the gathered point must be
+    negated. Returns (G, B, pt) bucket sums (want_buckets) or (G, pt)
+    window sums."""
+    B = 1 << window_bits if negm is None else (1 << (window_bits - 1)) + 1
+    G, n = orders.shape
+    flat_order = orders.reshape(G * n)
+    gkeys = (
+        keys + (jnp.arange(G, dtype=keys.dtype) * B)[:, None]
+    ).reshape(G * n)
+    xg = xs.at[flat_order].get(mode="promise_in_bounds").astype(jnp.uint32)
+    yg = ys.at[flat_order].get(mode="promise_in_bounds").astype(jnp.uint32)
+    pts = cj.affine_to_proj(F, xg, yg)
+    if negm is not None:
+        negs = jnp.take_along_axis(negm, orders, axis=-1).reshape(G * n)
+        X, Y, Z = pts
+        pts = (X, F.select(negs, F.neg(Y), Y), Z)
+    buckets_flat = segments.reduce_by_sorted_key(
+        combine, pts, gkeys, G * B, ident,
+        combine_leaf=leaf, tile_scan=tscans[0], tile_scan_general=tscans[1],
+    )
+    buckets = jax.tree_util.tree_map(
+        lambda x: x.reshape((G, B) + x.shape[1:]), buckets_flat
+    )
+    if want_buckets:
+        return buckets
+    return jax.lax.map(
+        lambda b: _scan_buckets(combine, tscans, b, ident), buckets
+    )
+
+
+def _grouped_window_sums(
+    F, xs, ys, orders, keys, negm, window_bits, combine, leaf, tscans,
+    ident, want_buckets, group,
+):
+    """All W windows through _grouped_window_block in groups of `group`
+    (remainder group instantiated separately); results concatenated back
+    to leading dim W."""
+    W = orders.shape[0]
+    g = max(1, min(group, W))
+    n_full, rem = divmod(W, g)
+
+    def run(o, k, m):
+        return _grouped_window_block(
+            F, xs, ys, o, k, m, window_bits, combine, leaf, tscans,
+            ident, want_buckets,
+        )
+
+    parts = []
+    if n_full:
+        head = slice(0, n_full * g)
+        grp = lambda x: x[head].reshape(n_full, g, -1)
+        if negm is None:
+            mapped = jax.lax.map(
+                lambda a: run(a[0], a[1], None), (grp(orders), grp(keys))
+            )
+        else:
+            mapped = jax.lax.map(
+                lambda a: run(*a), (grp(orders), grp(keys), grp(negm))
+            )
+        parts.append(jax.tree_util.tree_map(
+            lambda x: x.reshape((n_full * g,) + x.shape[2:]), mapped
+        ))
+    if rem:
+        tail = slice(n_full * g, W)
+        parts.append(run(
+            orders[tail], keys[tail],
+            None if negm is None else negm[tail],
+        ))
+    if len(parts) == 1:
+        return parts[0]
+    return jax.tree_util.tree_map(
+        lambda *xs_: jnp.concatenate(xs_, axis=0), *parts
+    )
+
+
 def _window_sums_one_chunk(
     F, points, scalars, window_bits, combine=None, leaf=None, tscans=None,
-    signed=None, affine=False, precomp=None, want_buckets=False,
+    signed=None, affine=False, precomp=None, want_buckets=False, group=None,
 ):
     """affine=True: `points` is an (xs, ys) pair of affine Montgomery limb
     arrays in their STORAGE dtype (uint16 zkey sections) — the per-window
@@ -229,6 +335,29 @@ def _window_sums_one_chunk(
         digits = window_digits(scalars, window_bits)  # (W, N)
         B = 1 << window_bits
         mapped = digits
+
+    if group is None:
+        group = MSM_WINDOW_GROUP or _auto_window_group(F)
+    if affine and group > 1:
+        # batched gather + merged segmented reduce over groups of windows
+        xs, ys = points
+        if precomp is not None:
+            orders_all, keys_all = precomp
+            negm_all = None
+        elif signed:
+            digits = mapped
+            keys_raw = jnp.abs(digits)
+            negm_all = digits < 0
+            orders_all = jnp.argsort(keys_raw, axis=-1).astype(jnp.int32)
+            keys_all = jnp.take_along_axis(keys_raw, orders_all, axis=-1)
+        else:
+            orders_all = jnp.argsort(mapped, axis=-1).astype(jnp.int32)
+            keys_all = jnp.take_along_axis(mapped, orders_all, axis=-1)
+            negm_all = None
+        return _grouped_window_sums(
+            F, xs, ys, orders_all, keys_all, negm_all, window_bits,
+            combine, leaf, tscans, ident, want_buckets, group,
+        )
 
     def per_window(d_row):
         if precomp is not None:
@@ -278,6 +407,7 @@ def window_sums_impl(
     signed: Optional[bool] = None,
     affine: bool = False,
     precomp=None,
+    group: Optional[int] = None,
 ) -> cj.Point:
     """Per-window Pippenger sums; returns point pytree with leading dim W.
 
@@ -296,7 +426,7 @@ def window_sums_impl(
     if n <= chunk_points:
         return _window_sums_one_chunk(
             F, points, scalars, window_bits, combine, leaf, tscans, signed,
-            affine, precomp,
+            affine, precomp, group=group,
         )
     assert precomp is None, "precomputed orders require a single chunk"
 
@@ -330,7 +460,8 @@ def window_sums_impl(
     def one(args):
         pts, sc = args
         return _window_sums_one_chunk(
-            F, pts, sc, window_bits, combine, leaf, tscans, signed, affine
+            F, pts, sc, window_bits, combine, leaf, tscans, signed, affine,
+            group=group,
         )
 
     # C is small (N/chunk_points <= 32 up to 2^21): the fold's scan hits the
@@ -342,7 +473,7 @@ def window_sums_impl(
 
 
 msm_window_sums = jax.jit(
-    window_sums_impl, static_argnums=(0, 3, 4, 5, 6, 7)
+    window_sums_impl, static_argnums=(0, 3, 4, 5, 6, 7, 9)
 )
 
 
@@ -356,12 +487,13 @@ def window_sums_affine_impl(
     use_pallas: Optional[bool] = None,
     signed: Optional[bool] = None,
     precomp=None,
+    group: Optional[int] = None,
 ) -> cj.Point:
     """window_sums_impl over affine uint16 storage rows (the fast path —
     see _window_sums_one_chunk's affine note)."""
     return window_sums_impl(
         F, (xs, ys), scalars, window_bits, chunk_points, use_pallas, signed,
-        affine=True, precomp=precomp,
+        affine=True, precomp=precomp, group=group,
     )
 
 
@@ -373,6 +505,7 @@ def bucket_sums_affine_impl(
     window_bits: int,
     use_pallas: Optional[bool] = None,
     precomp=None,
+    group: Optional[int] = None,
 ) -> cj.Point:
     """(W, B, point) Pippenger BUCKET sums, suffix scan deferred.
 
@@ -385,7 +518,7 @@ def bucket_sums_affine_impl(
         F, (xs, ys), scalars, window_bits,
         combine_for(F, use_pallas), leaf_combine_for(F, use_pallas),
         tile_scans_for(F, use_pallas), signed=False, affine=True,
-        precomp=precomp, want_buckets=True,
+        precomp=precomp, want_buckets=True, group=group,
     )
 
 

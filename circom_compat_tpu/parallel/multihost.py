@@ -427,6 +427,11 @@ def dist_dryrun(
     # Gloo (XLA:CPU's cross-process collectives) must ride loopback here —
     # its default interface pick is unroutable in sandboxed containers.
     env.setdefault("GLOO_SOCKET_IFNAME", "lo")
+    # XLA:CPU's deserialize_executable re-does codegen, so cache READS of
+    # the big sharded step are SLOWER than a cold compile (the measured
+    # lesson in utils/paths.enable_compile_cache) — and N workers would
+    # also race writing the same entries. Cold-compile every worker.
+    env["CIRCOM_TPU_NO_COMPILE_CACHE"] = "1"
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", code, str(i), str(num_processes),

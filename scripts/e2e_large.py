@@ -108,6 +108,19 @@ def main():
              "models/streamed.py). 0 = resident-key prover.",
     )
     ap.add_argument(
+        "--hbm-filler-gb", type=float, default=0.0,
+        help="pin a dummy device buffer of this size before staging, "
+             "shrinking usable HBM — the honest forcing function for the "
+             "larger-than-HBM streamed demo on a single 16 GB chip "
+             "(resident staging becomes impossible; the streamed prover "
+             "must still succeed). Reported separately from peak stats.",
+    )
+    ap.add_argument(
+        "--key-only", action="store_true",
+        help="run the trusted setup + zkey write/load only (populate the "
+             ".cache fixture for later prove runs), skip the prove.",
+    )
+    ap.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force the jax platform (env JAX_PLATFORMS is fixed at "
              "interpreter start in this image; use --platform cpu to "
@@ -124,11 +137,25 @@ def main():
 
     log(f"backend={jax.default_backend()}")
     pk, matrices, n_b = get_key(args.log_domain)
+    if args.key_only:
+        log(f"[key] --key-only: fixture ready for 2^{args.log_domain}, exiting")
+        return
 
     log("[witness] computing squaring chain ...")
     t0 = time.time()
     assignment = witness_for(n_b, a=3)
     log(f"[witness] {len(assignment)} wires in {time.time()-t0:.1f}s")
+
+    filler = None
+    filler_bytes = 0
+    if args.hbm_filler_gb > 0:
+        import jax.numpy as jnp
+
+        filler_bytes = int(args.hbm_filler_gb * (1 << 30))
+        filler = jax.device_put(np.zeros(filler_bytes // 4, np.int32))
+        filler.block_until_ready()
+        log(f"[hbm] pinned {filler_bytes/1e9:.2f} GB filler buffer "
+            f"(usable HBM shrunk accordingly)")
 
     if args.streamed:
         from circom_compat_tpu.models.streamed import (
@@ -172,8 +199,12 @@ def main():
         log(f"RESULT key_query_bytes: {key_bytes} "
             f"({key_bytes/1e9:.2f} GB host-resident)")
         if peak is not None:
+            net = peak - filler_bytes
             log(f"RESULT device_peak_bytes_in_use: {peak} "
                 f"({peak/1e9:.2f} GB; {peak/key_bytes:.2f}x of key sections)")
+            if filler_bytes:
+                log(f"RESULT peak_minus_filler: {net} ({net/1e9:.2f} GB; "
+                    f"{net/key_bytes:.2f}x of key sections)")
         if not args.skip_verify:
             pvk = Groth16.process_vk(pk.vk)
             ok = Groth16.verify_with_processed_vk(
@@ -187,6 +218,7 @@ def main():
             "unit": "s",
             "device_peak_bytes": peak,
             "key_query_bytes": key_bytes,
+            "hbm_filler_bytes": filler_bytes,
         }))
         return
 
@@ -212,6 +244,14 @@ def main():
     n = 1 << args.log_domain
     log(f"RESULT e2e_prove_core_2^{args.log_domain}: {best:.2f} s steady-state "
         f"({n/best/1e3:.0f} k constraints/s)")
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak is not None:
+            log(f"RESULT resident_device_peak_bytes_in_use: {peak} "
+                f"({peak/1e9:.2f} GB)")
+    except Exception:
+        pass
 
     if not args.skip_verify:
         log("[verify] assembling + verifying proof ...")

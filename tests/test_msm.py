@@ -187,3 +187,74 @@ def test_msm_deferred_scan_buckets_match_window_sums():
     got2 = msm_ops.windows_from_buckets_impl(cj.FQ_ADAPTER, acc)
     fa = _fold_windows_host_list(got2, w)
     assert fa == rc.G1.msm(pts, scalars)
+
+
+def test_msm_grouped_windows_match_ungrouped():
+    """Grouped path (G windows -> ONE gather + ONE segmented reduce with
+    global keys w*B + digit, ops/msm._grouped_window_sums) must be
+    bit-identical to the per-window path — incl. a remainder group (W=32
+    at w=8, group=5 -> 6 full groups + rem 2) and infinity rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    n = 41
+    pts = _rand_g1(n)
+    pts[3] = None
+    scalars = [RNG.randrange(R_SCALAR) for _ in range(n)]
+    scalars[0] = 0
+    xs, ys = cj.encode_g1_affine(pts)
+    xs16 = jnp.asarray(np.asarray(xs).astype(np.uint16))
+    ys16 = jnp.asarray(np.asarray(ys).astype(np.uint16))
+    sc = jnp.asarray(fj.encode_plain(scalars))
+
+    def decoded(sums):
+        # grouped tiling changes the projective Z-scaling of intermediate
+        # sums (same points, different representatives) — compare the
+        # DECODED per-window affine points, which is what the host fold
+        # consumes (proof bytes are identical downstream).
+        return cj.decode_g1_proj(sums)
+
+    base = decoded(msm_ops.window_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16, ys16, sc, 8, group=1
+    ))
+    for g in (2, 5):
+        got = decoded(msm_ops.window_sums_affine_impl(
+            cj.FQ_ADAPTER, xs16, ys16, sc, 8, group=g
+        ))
+        assert got == base, f"group={g} diverged"
+    # grouped + precomputed orders (the prove-core configuration)
+    orders = msm_ops.window_orders(sc, 8)
+    got = decoded(msm_ops.window_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16, ys16, sc, 8, precomp=orders, group=4
+    ))
+    assert got == base
+    # grouped + deferred buckets (the streamed-prover configuration)
+    buckets = msm_ops.bucket_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16, ys16, sc, 8, group=3
+    )
+    sums = msm_ops.windows_from_buckets_impl(cj.FQ_ADAPTER, buckets)
+    assert decoded(sums) == base
+
+
+def test_msm_grouped_signed_matches_unsigned():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from circom_compat_tpu.ops import field_jax as fj
+
+    n = 19
+    pts = _rand_g1(n)
+    scalars = [RNG.randrange(R_SCALAR) for _ in range(n)]
+    scalars[0] = R_SCALAR - 1
+    xs, ys = cj.encode_g1_affine(pts)
+    xs16 = jnp.asarray(np.asarray(xs).astype(np.uint16))
+    ys16 = jnp.asarray(np.asarray(ys).astype(np.uint16))
+    sc = jnp.asarray(fj.encode_plain(scalars))
+    want = msm_ops.msm_g1((jnp.asarray(xs), jnp.asarray(ys)), scalars, 9)
+    sums = msm_ops.window_sums_affine_impl(
+        cj.FQ_ADAPTER, xs16, ys16, sc, 9, signed=True, group=3
+    )
+    got = msm_ops._fold_windows_host(cj.decode_g1_proj(sums), rc.G1, 9)
+    assert got == want

@@ -76,6 +76,12 @@ def test_sharded_prove_smoke_dryrun_shapes():
         circuit.r1cs.num_inputs, len(ma), full, backend="host",
     )
     assert proof == host_proof
+    # pin against the vendored golden too (tests/test_golden_proofs.py) —
+    # same circuit and r,s, so the sharded backend cannot drift alone
+    from test_golden_proofs import load_golden
+
+    _, golden = load_golden("chain254_proof.json")
+    assert proof == golden
     assert Groth16.verify_proof(pk.vk, proof, circuit.get_public_inputs())
 
 
