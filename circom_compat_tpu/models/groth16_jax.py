@@ -35,11 +35,13 @@ from ..ops import ntt
 
 
 def _sorted_coo(rows, cols, vals_mont_u16):
+    from ..utils.xfer import put_chunked
+
     order = np.argsort(np.asarray(rows), kind="stable")
     r = np.asarray(rows, np.int32)[order]
     c = np.asarray(cols, np.int32)[order]
     v = np.asarray(vals_mont_u16, np.uint16)[order]  # widened on device
-    return jnp.asarray(r), jnp.asarray(c), jnp.asarray(v)
+    return put_chunked(r), put_chunked(c), put_chunked(v)
 
 
 def _pad_rows_np(arr: np.ndarray, target: int) -> np.ndarray:
@@ -125,6 +127,11 @@ class DeviceProvingKey:
 
         ar, ac, av = _sorted_coo(matrices.a_rows, matrices.a_cols, matrices.a_values_mont)
         br, bc, bv = _sorted_coo(matrices.b_rows, matrices.b_cols, matrices.b_values_mont)
+        from ..utils.xfer import put_chunked
+
+        def put_stack(a):  # (4, n, 16): chunk along the flattened rows
+            return put_chunked(a.reshape(-1, a.shape[-1])).reshape(a.shape)
+
         return DeviceProvingKey(
             pk=pk,
             num_inputs=num_inputs,
@@ -134,10 +141,10 @@ class DeviceProvingKey:
             aux_len=lengths[2],
             a_rows=ar, a_cols=ac, a_vals=av,
             b_rows=br, b_cols=bc, b_vals=bv,
-            g1_stack_x=jnp.asarray(xs),
-            g1_stack_y=jnp.asarray(ys),
+            g1_stack_x=put_stack(xs),
+            g1_stack_y=put_stack(ys),
             g1_lengths=lengths,
-            b_g2_query=(jnp.asarray(g2_x), jnp.asarray(g2_y)),
+            b_g2_query=(put_chunked(g2_x), put_chunked(g2_y)),
             g2_len=n2,
         )
 
@@ -454,7 +461,11 @@ def prove_prepared(
     if window_bits is None:
         window_bits = default_window_bits(max(dpk.n_vars, dpk.domain_size))
     with trace.stage("prove.encode"):
-        asg_plain = jnp.asarray(_encode_assignment(full_assignment))
+        from ..utils.xfer import put_chunked
+
+        # chunked H2D: a 2^20 assignment is 64 MB and the axon tunnel's
+        # monolithic device_put collapses to ~30 MB/s at that size
+        asg_plain = put_chunked(_encode_assignment(full_assignment))
     # jax dispatch is async: "device" includes the window-sum readback that
     # forces the computation; "dispatch" is trace+enqueue only.
     with trace.stage("prove.device"):

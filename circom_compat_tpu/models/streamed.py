@@ -19,6 +19,7 @@ same window-sum kernels, same host fold (tests/test_streamed.py).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -31,6 +32,23 @@ from ..ops import field_jax as fj
 from ..ops import msm as msm_ops
 from ..ops import ntt
 from . import groth16_jax as gj
+
+# High-water mark of device-visible JAX array bytes, sampled at chunk
+# boundaries of the last prove_streamed call — the >HBM evidence channel
+# on backends whose device.memory_stats() is unavailable (axon returns
+# None). Excludes XLA scratch, but the staged buffers it tracks are
+# exactly what a resident prover would have pinned.
+LAST_PEAK_LIVE_BYTES = 0
+
+
+def _sample_live_bytes():
+    global LAST_PEAK_LIVE_BYTES
+    try:
+        now = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                  for a in jax.live_arrays())
+    except Exception:
+        return
+    LAST_PEAK_LIVE_BYTES = max(LAST_PEAK_LIVE_BYTES, now)
 
 
 @dataclass
@@ -158,62 +176,68 @@ def _init_buckets(F, window_bits: int):
 
 
 def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
-    """Fixed-shape per-chunk graphs (VERDICT r2 item 4 rework):
+    """Fixed-shape per-chunk graphs (round-4 fused rework).
 
-    - `orders`: one per-window argsort of a scalar chunk, SHARED by the
-      A/B1/B2 bucket updates (those three MSMs use the same assignment
-      scalars — same sharing the resident prover gets from window_orders).
-    - `bkt_*`: gather + segmented bucket reduce for one chunk, folded into
-      a donated (W, B, pt) accumulator in the same dispatch. The O(B log B)
-      suffix scan is NOT paid per chunk: bucket sums are additive, so
-      `scan_*` runs once per MSM at the end (ops/msm.py
-      bucket_sums_affine_impl / windows_from_buckets_impl).
-    - scalars travel as uint16 (limbs are 16-bit values): half the H2D
-      bytes of the uint32 encoding; widened on device.
+    The r3 design ran 4-5 separate jits per chunk (orders + one bucket
+    update per MSM); through the axon tunnel each dispatch carries a
+    35-400 ms fixed cost (BASELINE r1 notes) and the separate graphs deny
+    XLA any cross-MSM overlap — measured 23.7 s streamed vs 8.34 s
+    resident at 2^20. Now ONE jit per chunk runs the shared per-window
+    argsort (A/B1/B2 reuse it — same sharing as the resident core) plus
+    ALL FIVE bucket updates into donated (W, B, pt) accumulators, and ONE
+    jit runs the five deferred suffix scans at the end (bucket sums are
+    additive across chunks, so the O(B log B) scan is paid once per MSM,
+    not once per chunk). Scalars travel as uint16 (limb values < 2^16):
+    half the H2D bytes; widened on device.
     """
     key = ("chunk", window_bits)
     if key not in spk._cache:
         FQ, FQ2 = cj.FQ_ADAPTER, cj.FQ2_ADAPTER
         cmb1, cmb2 = msm_ops.combine_for(FQ), msm_ops.combine_for(FQ2)
 
-        def orders_fn(sc16):
-            return msm_ops.window_orders(
-                sc16.astype(jnp.uint32), window_bits
+        def fused(a_xs, a_ys, b1_xs, b1_ys, l_xs, l_ys, h_xs, h_ys,
+                  g2_xs, g2_ys, sc_asg, sc_l, sc_h,
+                  acc_a, acc_b1, acc_l, acc_h, acc_g2):
+            pre = msm_ops.window_orders(
+                sc_asg.astype(jnp.uint32), window_bits
+            )
+            bkt = lambda F, xs, ys, sc, p: msm_ops.bucket_sums_affine_impl(
+                F, xs, ys, sc, window_bits, precomp=p
+            )
+            return (
+                cmb1(acc_a, bkt(FQ, a_xs, a_ys, None, pre)),
+                cmb1(acc_b1, bkt(FQ, b1_xs, b1_ys, None, pre)),
+                cmb1(acc_l, bkt(FQ, l_xs, l_ys,
+                                sc_l.astype(jnp.uint32), None)),
+                cmb1(acc_h, bkt(FQ, h_xs, h_ys,
+                                sc_h.astype(jnp.uint32), None)),
+                cmb2(acc_g2, bkt(FQ2, g2_xs, g2_ys, None, pre)),
             )
 
-        def bkt_shared(F, cmb):
-            def run(xs, ys, orders, keys, acc):
-                b = msm_ops.bucket_sums_affine_impl(
-                    F, xs, ys, None, window_bits, precomp=(orders, keys)
-                )
-                return cmb(acc, b)
-            return run
-
-        def bkt_own(F, cmb):
-            def run(xs, ys, sc16, acc):
-                b = msm_ops.bucket_sums_affine_impl(
-                    F, xs, ys, sc16.astype(jnp.uint32), window_bits
-                )
-                return cmb(acc, b)
-            return run
+        def scans(acc_a, acc_b1, acc_l, acc_h, acc_g2):
+            g1 = jax.tree_util.tree_map(
+                lambda *x: jnp.stack(x), acc_a, acc_b1, acc_l, acc_h
+            )
+            g1_sums = jax.lax.map(
+                lambda b: msm_ops.windows_from_buckets_impl(FQ, b), g1
+            )
+            g2_sums = msm_ops.windows_from_buckets_impl(FQ2, acc_g2)
+            return g1_sums, g2_sums
 
         spk._cache[key] = {
-            "orders": jax.jit(orders_fn),
-            "bkt_g1_pre": jax.jit(
-                bkt_shared(FQ, cmb1), donate_argnums=(4,)
+            "fused": jax.jit(
+                fused, donate_argnums=(13, 14, 15, 16, 17)
             ),
-            "bkt_g2_pre": jax.jit(
-                bkt_shared(FQ2, cmb2), donate_argnums=(4,)
-            ),
-            "bkt_g1": jax.jit(bkt_own(FQ, cmb1), donate_argnums=(3,)),
-            "scan_g1": jax.jit(
-                lambda b: msm_ops.windows_from_buckets_impl(FQ, b)
-            ),
-            "scan_g2": jax.jit(
-                lambda b: msm_ops.windows_from_buckets_impl(FQ2, b)
-            ),
+            "scans": jax.jit(scans),
         }
     return spk._cache[key]
+
+
+# The axon tunnel's H2D throughput CLIFFS on large single transfers
+# (838 MB/s at 4 MB, 26 MB/s at 128 MB); piecewise puts sustain 1.48 GB/s.
+# This was the dominant cost of the r3 streamed prover (237 s at 2^22,
+# ~2 GB H2D per proof). See utils/xfer.py.
+from ..utils.xfer import put_chunked as _put_chunked
 
 
 def _stage_rows(xs_host, ys_host, lo: int, chunk: int):
@@ -229,7 +253,7 @@ def _stage_rows(xs_host, ys_host, lo: int, chunk: int):
     if hi_c > lo_c:
         xs[: hi_c - lo_c] = xs_host[lo_c:hi_c]
         ys[: hi_c - lo_c] = ys_host[lo_c:hi_c]
-    return jax.device_put(xs), jax.device_put(ys)
+    return _put_chunked(xs), _put_chunked(ys)
 
 
 def _stage_scalars(sc_host, lo: int, chunk: int):
@@ -239,78 +263,55 @@ def _stage_scalars(sc_host, lo: int, chunk: int):
     sc = np.zeros((chunk, 16), np.uint16)
     if hi > lo:
         sc[: hi - lo] = np.asarray(sc_host[lo:hi], np.uint32).astype(np.uint16)
-    return jax.device_put(sc)
+    return _put_chunked(sc)
 
 
-def _stream_shared(jits, g1_secs, g2_sec, sc_host, chunk: int, window_bits):
-    """A/B1 (G1) + B2 (G2) bucket accumulation over host chunks with ONE
-    shared per-window sort per chunk. Double-buffered: chunk i+1's host
-    slice + H2D is issued before chunk i's bucket update is consumed (jax
-    dispatch is async; nothing forces a result inside the loop)."""
-    n = max(
-        max(s[0].shape[0] for s in g1_secs),
-        g2_sec[0].shape[0],
-        sc_host.shape[0],
-    )
-    # Rows past len(sc_host) would be gathered with an implicit ZERO scalar
-    # (bucket 0, dropped) — correct for Groth16's layout only because every
-    # section is <= the assignment length. Fail loudly on a malformed key
-    # instead of silently dropping real points (ADVICE r3).
-    for i, s in enumerate(g1_secs):
-        if s[0].shape[0] > sc_host.shape[0]:
+def _stream_all(jits, g1_secs, g2_sec, sc_asg, sc_l, sc_h, chunk, window_bits):
+    """All five MSMs' bucket accumulation over host chunks: one fused
+    dispatch per chunk, one scans dispatch at the end. A prefetch thread
+    builds chunk i+1's host slices and issues their H2D while the device
+    runs chunk i (device_put through the tunnel blocks the staging thread,
+    not the dispatch loop)."""
+    sec_a, sec_b1, sec_l, sec_h = g1_secs
+    # Rows past their scalar vector would be gathered with an implicit ZERO
+    # scalar (bucket 0, dropped) — correct for Groth16's layout only
+    # because every section is <= its scalar length. Fail loudly on a
+    # malformed key instead of silently dropping real points (ADVICE r3).
+    checks = [
+        ("A", sec_a, sc_asg), ("B1", sec_b1, sc_asg), ("L", sec_l, sc_l),
+        ("H", sec_h, sc_h), ("B2", g2_sec, sc_asg),
+    ]
+    for name, sec, sc in checks:
+        if sec[0].shape[0] > sc.shape[0]:
             raise ValueError(
-                f"streamed prove: G1 section {i} has {s[0].shape[0]} rows "
-                f"but only {sc_host.shape[0]} scalars cover them"
+                f"streamed prove: section {name} has {sec[0].shape[0]} rows "
+                f"but only {sc.shape[0]} scalars cover them"
             )
-    if g2_sec[0].shape[0] > sc_host.shape[0]:
-        raise ValueError(
-            f"streamed prove: G2 section has {g2_sec[0].shape[0]} rows "
-            f"but only {sc_host.shape[0]} scalars cover them"
-        )
-    accs_g1 = [_init_buckets(cj.FQ_ADAPTER, window_bits) for _ in g1_secs]
-    acc_g2 = _init_buckets(cj.FQ2_ADAPTER, window_bits)
+    n = max(max(s[0].shape[0] for s in g1_secs), g2_sec[0].shape[0],
+            sc_asg.shape[0], sc_l.shape[0], sc_h.shape[0])
+
+    accs = tuple(
+        _init_buckets(cj.FQ_ADAPTER, window_bits) for _ in range(4)
+    ) + (_init_buckets(cj.FQ2_ADAPTER, window_bits),)
 
     def stage(lo):
-        rows = [_stage_rows(xs, ys, lo, chunk) for xs, ys in g1_secs]
-        rows.append(_stage_rows(*g2_sec, lo, chunk))
-        return rows, _stage_scalars(sc_host, lo, chunk)
+        flat = []
+        for xs, ys in (sec_a, sec_b1, sec_l, sec_h, g2_sec):
+            flat.extend(_stage_rows(xs, ys, lo, chunk))
+        flat.append(_stage_scalars(sc_asg, lo, chunk))
+        flat.append(_stage_scalars(sc_l, lo, chunk))
+        flat.append(_stage_scalars(sc_h, lo, chunk))
+        return flat
 
-    cur = stage(0)
-    for lo in range(0, n, chunk):
-        nxt = stage(lo + chunk) if lo + chunk < n else None
-        rows, sc16 = cur
-        orders, keys = jits["orders"](sc16)
-        for i, (xs, ys) in enumerate(rows[:-1]):
-            accs_g1[i] = jits["bkt_g1_pre"](xs, ys, orders, keys, accs_g1[i])
-        acc_g2 = jits["bkt_g2_pre"](*rows[-1], orders, keys, acc_g2)
-        cur = nxt
-    return (
-        [jits["scan_g1"](a) for a in accs_g1],
-        jits["scan_g2"](acc_g2),
-    )
-
-
-def _stream_own(jits, xs_host, ys_host, sc_host, chunk: int, window_bits):
-    """Bucket accumulation for a section with its own scalars (L, H)."""
-    n = min(xs_host.shape[0], sc_host.shape[0])
-    acc = _init_buckets(cj.FQ_ADAPTER, window_bits)
-    cur = (
-        _stage_rows(xs_host, ys_host, 0, chunk),
-        _stage_scalars(sc_host, 0, chunk),
-    )
-    for lo in range(0, n, chunk):
-        nxt = (
-            (
-                _stage_rows(xs_host, ys_host, lo + chunk, chunk),
-                _stage_scalars(sc_host, lo + chunk, chunk),
-            )
-            if lo + chunk < n
-            else None
-        )
-        (xs, ys), sc16 = cur
-        acc = jits["bkt_g1"](xs, ys, sc16, acc)
-        cur = nxt
-    return jits["scan_g1"](acc)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage, 0)
+        for lo in range(0, n, chunk):
+            cur = fut.result()
+            if lo + chunk < n:
+                fut = pool.submit(stage, lo + chunk)
+            accs = jits["fused"](*cur, *accs)
+            _sample_live_bytes()
+    return jits["scans"](*accs)
 
 
 def prove_streamed(
@@ -338,33 +339,24 @@ def prove_streamed(
             spk._cache["witness"] = _witness_jit(spk)
         h_plain = np.asarray(
             spk._cache["witness"](
-                _witness_arrays(spk), jnp.asarray(asg_plain_np)
+                _witness_arrays(spk), _put_chunked(asg_plain_np)
             )
         )
 
     jits = _chunk_jits(spk, window_bits)
 
-    asg_sc = asg_plain_np[: spk.n_vars]
-    sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
-    with trace.stage("prove.msm_a_b1_b2"):
-        (sum_a, sum_b1), g2_sums = _stream_shared(
-            jits, [sec_a, sec_b1], spk.g2_section, asg_sc, chunk, window_bits
-        )
-    with trace.stage("prove.msm_l"):
-        sum_l = _stream_own(
-            jits, *sec_l,
+    global LAST_PEAK_LIVE_BYTES
+    LAST_PEAK_LIVE_BYTES = 0
+    with trace.stage("prove.msm_stream"):
+        g1_sums, g2_sums = _stream_all(
+            jits, spk.g1_sections, spk.g2_section,
+            asg_plain_np[: spk.n_vars],
             asg_plain_np[spk.num_inputs : spk.num_inputs + spk.aux_len],
-            chunk, window_bits,
+            h_plain, chunk, window_bits,
         )
-    with trace.stage("prove.msm_h"):
-        sum_h = _stream_own(jits, *sec_h, h_plain, chunk, window_bits)
-
-    # stack to the (4, W, pt) layout assemble_proof expects
-    g1_sums = jax.tree_util.tree_map(
-        lambda *leaves: np.stack([np.asarray(x) for x in leaves]),
-        *(sum_a, sum_b1, sum_l, sum_h),
-    )
-    g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
+        g1_sums = jax.tree_util.tree_map(np.asarray, g1_sums)
+        g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)
+        _sample_live_bytes()
 
     with trace.stage("prove.assemble"):
         return gj.assemble_proof(spk, r, s, g1_sums, g2_sums, window_bits)

@@ -196,6 +196,15 @@ def main():
         except Exception:
             stats = {}
         peak = stats.get("peak_bytes_in_use")
+        if peak is None:
+            # axon's memory_stats() is unavailable; fall back to the
+            # streamed prover's live-array high-water sampling
+            from circom_compat_tpu.models import streamed as _sm
+
+            if _sm.LAST_PEAK_LIVE_BYTES:
+                peak = _sm.LAST_PEAK_LIVE_BYTES
+                log("[hbm] peak from jax.live_arrays() sampling "
+                    "(memory_stats unavailable on this backend)")
         log(f"RESULT key_query_bytes: {key_bytes} "
             f"({key_bytes/1e9:.2f} GB host-resident)")
         if peak is not None:
