@@ -116,6 +116,14 @@ def main():
              "must still succeed). Reported separately from peak stats.",
     )
     ap.add_argument(
+        "--filler-after-warmup", action="store_true",
+        help="pin the filler AFTER the compile+first-run warmup instead of "
+             "before: the remote axon worker crashes when XLA compiles "
+             "under heavy memory pressure (observed twice at 10.7-11.8 GB "
+             "fillers), and the >HBM claim is about steady-state proving "
+             "memory, not compile scratch.",
+    )
+    ap.add_argument(
         "--key-only", action="store_true",
         help="run the trusted setup + zkey write/load only (populate the "
              ".cache fixture for later prove runs), skip the prove.",
@@ -148,14 +156,19 @@ def main():
 
     filler = None
     filler_bytes = 0
-    if args.hbm_filler_gb > 0:
-        import jax.numpy as jnp
 
+    def pin_filler():
+        nonlocal filler, filler_bytes
+        if args.hbm_filler_gb <= 0 or filler is not None:
+            return
         filler_bytes = int(args.hbm_filler_gb * (1 << 30))
         filler = jax.device_put(np.zeros(filler_bytes // 4, np.int32))
         filler.block_until_ready()
         log(f"[hbm] pinned {filler_bytes/1e9:.2f} GB filler buffer "
             f"(usable HBM shrunk accordingly)")
+
+    if not args.filler_after_warmup:
+        pin_filler()
 
     if args.streamed:
         from circom_compat_tpu.models.streamed import (
@@ -175,6 +188,7 @@ def main():
         t0 = time.time()
         proof = prove_streamed(spk, r, s, assignment)
         log(f"[prove] first call {time.time()-t0:.1f}s")
+        pin_filler()  # no-op unless --filler-after-warmup
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
