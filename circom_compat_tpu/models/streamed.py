@@ -194,12 +194,39 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
     if key not in spk._cache:
         FQ, FQ2 = cj.FQ_ADAPTER, cj.FQ2_ADAPTER
         cmb1, cmb2 = msm_ops.combine_for(FQ), msm_ops.combine_for(FQ2)
+        num_inputs, aux_len = spk.num_inputs, spk.aux_len
+        n_vars = spk.n_vars
+
+        def prep(asg_dev, h_dev, P):
+            """Device-side per-proof scalar prep: slice the aux window out
+            of the assignment and zero-pad all three vectors to the loop
+            length P (dynamic_slice CLAMPS at the end — padding makes the
+            last chunk read zeros, which land in dropped bucket 0)."""
+
+            def fit(x):
+                p = P - x.shape[0]
+                return jnp.pad(x, ((0, p), (0, 0))) if p > 0 else x[:P]
+
+            return (
+                fit(asg_dev[:n_vars]),
+                fit(asg_dev[num_inputs : num_inputs + aux_len]),
+                fit(h_dev),
+            )
 
         def fused(a_xs, a_ys, b1_xs, b1_ys, l_xs, l_ys, h_xs, h_ys,
-                  g2_xs, g2_ys, sc_asg, sc_l, sc_h,
+                  g2_xs, g2_ys, sc_asg_full, sc_l_full, sc_h_full, lo,
                   acc_a, acc_b1, acc_l, acc_h, acc_g2):
+            # scalars stay DEVICE-RESIDENT for the whole prove (uploaded
+            # once / produced on device by the witness jit) and are sliced
+            # here — per-chunk scalar H2D and the h_plain D2H round-trip
+            # (~4 s at 2^20 through the tunnel) are gone.
+            chunk = a_xs.shape[0]
+
+            def sl(full):
+                return jax.lax.dynamic_slice_in_dim(full, lo, chunk, 0)
+
             pre = msm_ops.window_orders(
-                sc_asg.astype(jnp.uint32), window_bits
+                sl(sc_asg_full).astype(jnp.uint32), window_bits
             )
             bkt = lambda F, xs, ys, sc, p: msm_ops.bucket_sums_affine_impl(
                 F, xs, ys, sc, window_bits, precomp=p
@@ -208,9 +235,9 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
                 cmb1(acc_a, bkt(FQ, a_xs, a_ys, None, pre)),
                 cmb1(acc_b1, bkt(FQ, b1_xs, b1_ys, None, pre)),
                 cmb1(acc_l, bkt(FQ, l_xs, l_ys,
-                                sc_l.astype(jnp.uint32), None)),
+                                sl(sc_l_full).astype(jnp.uint32), None)),
                 cmb1(acc_h, bkt(FQ, h_xs, h_ys,
-                                sc_h.astype(jnp.uint32), None)),
+                                sl(sc_h_full).astype(jnp.uint32), None)),
                 cmb2(acc_g2, bkt(FQ2, g2_xs, g2_ys, None, pre)),
             )
 
@@ -226,9 +253,10 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
 
         spk._cache[key] = {
             "fused": jax.jit(
-                fused, donate_argnums=(13, 14, 15, 16, 17)
+                fused, donate_argnums=(14, 15, 16, 17, 18)
             ),
             "scans": jax.jit(scans),
+            "prep": jax.jit(prep, static_argnums=(2,)),
         }
     return spk._cache[key]
 
@@ -256,39 +284,15 @@ def _stage_rows(xs_host, ys_host, lo: int, chunk: int):
     return _put_chunked(xs), _put_chunked(ys)
 
 
-def _stage_scalars(sc_host, lo: int, chunk: int):
-    """uint16 slice/pad of plain-canonical scalar limbs (values < 2^16)."""
-    n = sc_host.shape[0]
-    hi = min(lo + chunk, n)
-    sc = np.zeros((chunk, 16), np.uint16)
-    if hi > lo:
-        sc[: hi - lo] = np.asarray(sc_host[lo:hi], np.uint32).astype(np.uint16)
-    return _put_chunked(sc)
-
-
-def _stream_all(jits, g1_secs, g2_sec, sc_asg, sc_l, sc_h, chunk, window_bits):
-    """All five MSMs' bucket accumulation over host chunks: one fused
-    dispatch per chunk, one scans dispatch at the end. A prefetch thread
-    builds chunk i+1's host slices and issues their H2D while the device
-    runs chunk i (device_put through the tunnel blocks the staging thread,
-    not the dispatch loop)."""
+def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
+    """All five MSMs' bucket accumulation over host ROW chunks: one fused
+    dispatch per chunk, one scans dispatch at the end. Scalars
+    (`scalars_dev` = padded device-resident asg/aux/h vectors) never
+    leave the device — the fused jit slices them per chunk. A prefetch
+    thread builds chunk i+1's host row slices and issues their H2D while
+    the device runs chunk i."""
     sec_a, sec_b1, sec_l, sec_h = g1_secs
-    # Rows past their scalar vector would be gathered with an implicit ZERO
-    # scalar (bucket 0, dropped) — correct for Groth16's layout only
-    # because every section is <= its scalar length. Fail loudly on a
-    # malformed key instead of silently dropping real points (ADVICE r3).
-    checks = [
-        ("A", sec_a, sc_asg), ("B1", sec_b1, sc_asg), ("L", sec_l, sc_l),
-        ("H", sec_h, sc_h), ("B2", g2_sec, sc_asg),
-    ]
-    for name, sec, sc in checks:
-        if sec[0].shape[0] > sc.shape[0]:
-            raise ValueError(
-                f"streamed prove: section {name} has {sec[0].shape[0]} rows "
-                f"but only {sc.shape[0]} scalars cover them"
-            )
-    n = max(max(s[0].shape[0] for s in g1_secs), g2_sec[0].shape[0],
-            sc_asg.shape[0], sc_l.shape[0], sc_h.shape[0])
+    sc_asg_f, sc_l_f, sc_h_f = scalars_dev
 
     accs = tuple(
         _init_buckets(cj.FQ_ADAPTER, window_bits) for _ in range(4)
@@ -298,9 +302,6 @@ def _stream_all(jits, g1_secs, g2_sec, sc_asg, sc_l, sc_h, chunk, window_bits):
         flat = []
         for xs, ys in (sec_a, sec_b1, sec_l, sec_h, g2_sec):
             flat.extend(_stage_rows(xs, ys, lo, chunk))
-        flat.append(_stage_scalars(sc_asg, lo, chunk))
-        flat.append(_stage_scalars(sc_l, lo, chunk))
-        flat.append(_stage_scalars(sc_h, lo, chunk))
         return flat
 
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -309,7 +310,9 @@ def _stream_all(jits, g1_secs, g2_sec, sc_asg, sc_l, sc_h, chunk, window_bits):
             cur = fut.result()
             if lo + chunk < n:
                 fut = pool.submit(stage, lo + chunk)
-            accs = jits["fused"](*cur, *accs)
+            accs = jits["fused"](
+                *cur, sc_asg_f, sc_l_f, sc_h_f, np.int32(lo), *accs
+            )
             _sample_live_bytes()
     return jits["scans"](*accs)
 
@@ -334,25 +337,44 @@ def prove_streamed(
     with trace.stage("prove.encode"):
         asg_plain_np = np.asarray(gj._encode_assignment(full_assignment))
 
-    with trace.stage("prove.witness_map"):
-        if "witness" not in spk._cache:
-            spk._cache["witness"] = _witness_jit(spk)
-        h_plain = np.asarray(
-            spk._cache["witness"](
-                _witness_arrays(spk), _put_chunked(asg_plain_np)
+    # Rows past their scalar vector would be gathered with an implicit ZERO
+    # scalar (bucket 0, dropped) — correct for Groth16's layout only
+    # because every section is <= its scalar length. Fail loudly on a
+    # malformed key instead of silently dropping real points (ADVICE r3).
+    sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
+    checks = [
+        ("A", sec_a, spk.n_vars), ("B1", sec_b1, spk.n_vars),
+        ("L", sec_l, spk.aux_len), ("H", sec_h, spk.domain_size),
+        ("B2", spk.g2_section, spk.n_vars),
+    ]
+    for name, sec, limit in checks:
+        if sec[0].shape[0] > limit:
+            raise ValueError(
+                f"streamed prove: section {name} has {sec[0].shape[0]} rows "
+                f"but only {limit} scalars cover them"
             )
-        )
+
+    n = max(max(s[0].shape[0] for s in spk.g1_sections),
+            spk.g2_section[0].shape[0], spk.n_vars, spk.domain_size)
+    P = -(-n // chunk) * chunk  # loop length the device scalars pad to
 
     jits = _chunk_jits(spk, window_bits)
 
     global LAST_PEAK_LIVE_BYTES
     LAST_PEAK_LIVE_BYTES = 0
+    with trace.stage("prove.witness_map"):
+        if "witness" not in spk._cache:
+            spk._cache["witness"] = _witness_jit(spk)
+        asg_dev = _put_chunked(asg_plain_np)
+        # h stays DEVICE-resident: its D2H + per-chunk re-upload was ~4 s
+        # of the 2^20 streamed prove (scripts/ablate_streamed.py)
+        h_dev = spk._cache["witness"](_witness_arrays(spk), asg_dev)
+        scalars_dev = jits["prep"](asg_dev, h_dev, P)
+
     with trace.stage("prove.msm_stream"):
         g1_sums, g2_sums = _stream_all(
-            jits, spk.g1_sections, spk.g2_section,
-            asg_plain_np[: spk.n_vars],
-            asg_plain_np[spk.num_inputs : spk.num_inputs + spk.aux_len],
-            h_plain, chunk, window_bits,
+            jits, spk.g1_sections, spk.g2_section, scalars_dev,
+            chunk, window_bits, n,
         )
         g1_sums = jax.tree_util.tree_map(np.asarray, g1_sums)
         g2_sums = jax.tree_util.tree_map(np.asarray, g2_sums)

@@ -1,14 +1,19 @@
 """End-to-end ablation of the streamed prover (round 4).
 
 Per-stage forcing through the axon tunnel is unusable (block_until_ready
-returns early; forced stage lines inflate 4x — see profile_streamed.py's
-104 s SUM vs the real 23 s run). Attribute instead by timing the REAL
-async pipeline with one stage removed per variant:
+returns early; forced stage lines inflated a real 23 s run to a 104 s
+SUM). Attribute instead by timing the REAL async pipeline with one stage
+removed per variant:
 
-  full        : prove_streamed as shipped
-  no-witness  : h_plain precomputed outside the timed region
-  no-h2d      : all chunks pre-staged on device; loop runs fused+scans only
-  no-scans    : deferred suffix scans skipped (result discarded)
+  full        : prove_streamed as shipped (device-resident scalars)
+  no-witness  : h/scalars prepped outside the timed region
+  no-h2d      : all row chunks pre-staged on device; loop runs fused+scans
+  no-scans    : deferred suffix scans skipped (accumulators fetched)
+
+Recorded r4 datapoints (pre-device-scalar rework, 2^20 chunk 2^19):
+full 22.64 s / no-witness 18.36 s / no-h2d 8.02 s — staging+H2D was
+~10.3 s and the witness D2H+restage ~4.3 s, which motivated keeping h and
+all scalars device-resident.
 
   python scripts/ablate_streamed.py --log-domain 20 --chunk 524288
 """
@@ -50,28 +55,26 @@ def main():
     jits = sm._chunk_jits(spk, wb)
 
     asg_plain_np = np.asarray(gj._encode_assignment(assignment))
-    wj_arrays = sm._witness_arrays(spk)
     if "witness" not in spk._cache:
         spk._cache["witness"] = sm._witness_jit(spk)
+    wj_arrays = sm._witness_arrays(spk)
 
-    def witness_h():
-        return np.asarray(
-            spk._cache["witness"](wj_arrays, sm._put_chunked(asg_plain_np))
-        )
+    n = max(max(s[0].shape[0] for s in spk.g1_sections),
+            spk.g2_section[0].shape[0], spk.n_vars, spk.domain_size)
+    P = -(-n // chunk) * chunk
 
-    h_pre = witness_h()  # compiles; also the precomputed h for no-witness
-    sc_asg = asg_plain_np[: spk.n_vars]
-    sc_l = asg_plain_np[spk.num_inputs : spk.num_inputs + spk.aux_len]
+    def witness_prep():
+        asg_dev = sm._put_chunked(asg_plain_np)
+        h_dev = spk._cache["witness"](wj_arrays, asg_dev)
+        return jits["prep"](asg_dev, h_dev, P)
+
+    scalars_pre = jax.block_until_ready(witness_prep())
     sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
-    n = max(spk.n_vars, spk.domain_size)
 
-    def stage(lo, sc_h):
+    def stage(lo):
         flat = []
         for xs, ys in (sec_a, sec_b1, sec_l, sec_h, spk.g2_section):
             flat.extend(sm._stage_rows(xs, ys, lo, chunk))
-        flat.append(sm._stage_scalars(sc_asg, lo, chunk))
-        flat.append(sm._stage_scalars(sc_l, lo, chunk))
-        flat.append(sm._stage_scalars(sc_h, lo, chunk))
         return flat
 
     def fresh_accs():
@@ -79,42 +82,42 @@ def main():
             sm._init_buckets(cj.FQ_ADAPTER, wb) for _ in range(4)
         ) + (sm._init_buckets(cj.FQ2_ADAPTER, wb),)
 
-    def msm_loop(sc_h, prestaged=None, do_scans=True):
+    def msm_loop(scalars_dev, prestaged=None, do_scans=True):
         accs = fresh_accs()
+        sa, sl_, sh = scalars_dev
         from concurrent.futures import ThreadPoolExecutor
 
+        lows = list(range(0, n, chunk))
         if prestaged is None:
             with ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(stage, 0, sc_h)
-                for lo in range(0, n, chunk):
+                fut = pool.submit(stage, 0)
+                for i, lo in enumerate(lows):
                     cur = fut.result()
-                    if lo + chunk < n:
-                        fut = pool.submit(stage, lo + chunk, sc_h)
-                    accs = jits["fused"](*cur, *accs)
+                    if i + 1 < len(lows):
+                        fut = pool.submit(stage, lows[i + 1])
+                    accs = jits["fused"](*cur, sa, sl_, sh, np.int32(lo), *accs)
         else:
-            for cur in prestaged:
-                accs = jits["fused"](*cur, *accs)
+            for lo, cur in zip(lows, prestaged):
+                accs = jits["fused"](*cur, sa, sl_, sh, np.int32(lo), *accs)
         if not do_scans:
-            jax.block_until_ready(accs)
             return jax.tree_util.tree_map(np.asarray, accs[0])
         sums = jits["scans"](*accs)
         return jax.tree_util.tree_map(np.asarray, sums)
 
     def run_full():
-        h = witness_h()
-        return msm_loop(h)
+        return msm_loop(witness_prep())
 
     def run_no_witness():
-        return msm_loop(h_pre)
+        return msm_loop(scalars_pre)
 
-    prestaged = [stage(lo, h_pre) for lo in range(0, n, chunk)]
+    prestaged = [stage(lo) for lo in range(0, n, chunk)]
     jax.block_until_ready(prestaged)
 
     def run_no_h2d():
-        return msm_loop(h_pre, prestaged=prestaged)
+        return msm_loop(scalars_pre, prestaged=prestaged)
 
     def run_no_scans():
-        return msm_loop(h_pre, do_scans=False)
+        return msm_loop(scalars_pre, do_scans=False)
 
     variants = [
         ("full", run_full),
@@ -124,7 +127,7 @@ def main():
     ]
     print(f"domain 2^{args.log_domain} chunk {chunk} wb {wb}", flush=True)
     for name, fn in variants:
-        fn()  # warm (compile already done via shipped jits)
+        fn()  # warm
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()

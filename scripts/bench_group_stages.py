@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from circom_compat_tpu.ops import curve_jax as cj
-from circom_compat_tpu.ops import field_jax as fj
 from circom_compat_tpu.ops import msm as msm_ops
 
 

@@ -12,7 +12,6 @@ the cache layer so the *reason* for a miss lands in stderr.
 """
 
 import logging
-import os
 import pathlib
 import sys
 import time
