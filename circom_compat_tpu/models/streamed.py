@@ -205,7 +205,11 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
 
             def fit(x):
                 p = P - x.shape[0]
-                return jnp.pad(x, ((0, p), (0, 0))) if p > 0 else x[:P]
+                x = jnp.pad(x, ((0, p), (0, 0))) if p > 0 else x[:P]
+                # plain canonical limb values are < 2^16: store the
+                # device-resident copies at u16 (halves their HBM), the
+                # fused jit widens the per-chunk slice
+                return x.astype(jnp.uint16)
 
             return (
                 fit(asg_dev[:n_vars]),
@@ -370,6 +374,7 @@ def prove_streamed(
         # of the 2^20 streamed prove (scripts/ablate_streamed.py)
         h_dev = spk._cache["witness"](_witness_arrays(spk), asg_dev)
         scalars_dev = jits["prep"](asg_dev, h_dev, P)
+        del asg_dev, h_dev  # only the padded u16 copies stay live
 
     with trace.stage("prove.msm_stream"):
         g1_sums, g2_sums = _stream_all(
