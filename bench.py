@@ -280,7 +280,10 @@ def main():
     ap.add_argument("--curve", choices=["g1", "g2"], default="g1")
     ap.add_argument("--window-bits", type=int, default=0,
                     help="0 = auto (ops/msm.pick_window_bits)")
-    ap.add_argument("--repeats", type=int, default=3)
+    # min over 5: single-rep timings through the axon tunnel vary +-15%
+    # (round-4 measurement discipline, BASELINE.md) — 3 reps under-read
+    # the same code by up to 13% vs 5
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--e2e", action="store_true",
                     help="measure steady-state end-to-end prove of the cached "
                          "complex-circuit dev zkey instead of the raw MSM")
