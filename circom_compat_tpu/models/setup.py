@@ -204,9 +204,17 @@ def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.n
     # iFFT runs at size 2^23 and closure-captured tables become ~0.5 GB of
     # HLO literals, which breaks the axon remote-compile transport (same
     # rule as groth16_jax._device_arrays).
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(3,))  # reuse the 1 GB evals buffer
     def run(tw_inv, bitrev, n_inv, evals):
         out = ntt.ntt_core_batched(evals, tw_inv, bitrev, size, log_n)
+        # h_query_scalars keeps only the ODD coefficients (snarkjs 2x-domain
+        # trick, reference src/circom/qap.rs:90-105) — slice on DEVICE so
+        # the n_inv multiply, canonicalization and the D2H move half the
+        # bytes (the D2H of the full 2^24-size result was ~1 GB through
+        # the slow tunnel direction at 2^23 domains).
+        out = out[1::2]
         out = fj.mont_mul(fj.FR, out, n_inv)
         return fj.from_mont_impl(fj.FR, out)
 
@@ -214,7 +222,7 @@ def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.n
         jnp.asarray(plan.tw_inv), jnp.asarray(plan.bitrev),
         jnp.asarray(plan.n_inv), jnp.asarray(enc),
     )
-    return np.asarray(plain)[1::2]
+    return np.asarray(plain)
 
 
 class SetupSelfCheckError(AssertionError):
