@@ -100,7 +100,10 @@ def main():
             for lo, cur in zip(lows, prestaged):
                 accs = jits["fused"](*cur, sa, sl_, sh, np.int32(lo), *accs)
         if not do_scans:
-            return jax.tree_util.tree_map(np.asarray, accs[0])
+            # force with a TINY fetch: np.asarray of the full (W, B, pt)
+            # accumulators moved ~31 MB through the slow D2H direction and
+            # made this variant read HIGHER than full (r4 first run)
+            return np.asarray(accs[0][0][0, 0])
         sums = jits["scans"](*accs)
         return jax.tree_util.tree_map(np.asarray, sums)
 
