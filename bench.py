@@ -87,21 +87,30 @@ def child_msm(args):
     scalars = fj.encode_plain([rng.randrange(R_SCALAR) for _ in range(n)])
 
     xs16, ys16, sc = jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(scalars)
-    run = jax.jit(msm_ops.window_sums_affine_impl, static_argnums=(0, 4))
+    run = jax.jit(
+        msm_ops.window_sums_affine_impl, static_argnums=(0, 4, 5, 6, 7)
+    )
+    signed = bool(getattr(args, "signed", False)) or None
 
     # Compile once; np.asarray forces full materialization (block_until_ready
     # proved unreliable through the remote-TPU tunnel).
-    sums = run(adapter, xs16, ys16, sc, window_bits)
+    sums = run(adapter, xs16, ys16, sc, window_bits,
+               msm_ops.CHUNK_POINTS, None, signed)
     _ = [np.asarray(c) for c in sums]
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        sums = run(adapter, xs16, ys16, sc, window_bits)
+        sums = run(adapter, xs16, ys16, sc, window_bits,
+                   msm_ops.CHUNK_POINTS, None, signed)
         _ = [np.asarray(c) for c in sums]
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    pts_per_sec = n / best
+    # Headline value is the MEDIAN rep (VERDICT r4 weak #5: single reps
+    # through the axon tunnel wobble +-15%, and a min-of-N headline makes
+    # cross-round deltas invisible under that noise); min/max/repeats ride
+    # along so every BENCH_rNN carries its own error bars.
+    med = sorted(times)[len(times) // 2]
+    pts_per_sec = n / med
 
     # Baseline: the STRONGER of the measured same-machine native Pippenger
     # (scripts/bench_cpu_baseline.py cache) and the arkworks asm+rayon
@@ -116,9 +125,14 @@ def child_msm(args):
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / cpu_pts_per_sec, 4),
         "vs_native_cpu_this_box": round(pts_per_sec / native, 4),
+        "min": round(n / max(times), 2),
+        "max": round(n / min(times), 2),
+        "repeats": len(times),
         "backend": backend,
         "window_bits": window_bits,
     }
+    if signed:
+        rec["signed"] = True
     if g2:
         # no measured G2 CPU baseline exists (native Pippenger is G1-only);
         # don't fabricate a ratio.
@@ -174,13 +188,16 @@ def child_e2e(args):
         out = core(asg)
         _ = [np.asarray(c) for c in jax.tree_util.tree_leaves(out)]
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    med = sorted(times)[len(times) // 2]
     # arkworks-CPU ballpark for 10^4x10^4: ~2 s on a fast desktop core.
     print(json.dumps({
         "metric": "e2e_prove_core_complex_10000_steady_state",
-        "value": round(best, 3),
+        "value": round(med, 3),
         "unit": "s",
-        "vs_baseline": round(2.0 / best, 4),
+        "vs_baseline": round(2.0 / med, 4),
+        "min": round(min(times), 3),
+        "max": round(max(times), 3),
+        "repeats": len(times),
         "backend": jax.default_backend(),
     }))
 
@@ -280,6 +297,9 @@ def main():
     ap.add_argument("--curve", choices=["g1", "g2"], default="g1")
     ap.add_argument("--window-bits", type=int, default=0,
                     help="0 = auto (ops/msm.pick_window_bits)")
+    ap.add_argument("--signed", action="store_true",
+                    help="signed-digit window recoding (halved bucket tail; "
+                         "measured ablation knob — unsigned is production)")
     # min over 5: single-rep timings through the axon tunnel vary +-15%
     # (round-4 measurement discipline, BASELINE.md) — 3 reps under-read
     # the same code by up to 13% vs 5

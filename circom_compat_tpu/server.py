@@ -32,18 +32,10 @@ import time
 from typing import Optional
 
 
-def _proof_to_json(proof) -> dict:
-    return {
-        "pi_a": [str(proof.a[0]), str(proof.a[1]), "1"],
-        "pi_b": [
-            [str(proof.b[0][0]), str(proof.b[0][1])],
-            [str(proof.b[1][0]), str(proof.b[1][1])],
-            ["1", "0"],
-        ],
-        "pi_c": [str(proof.c[0]), str(proof.c[1]), "1"],
-        "protocol": "groth16",
-        "curve": "bn128",
-    }
+# One proof-JSON encoder for the whole project: cli's handles the
+# point-at-infinity encodings (['0','1','0'] G1 / zero-z G2) that a local
+# re-implementation here once dropped (ADVICE r4).
+from .cli import _proof_to_json
 
 
 class ProveServer:

@@ -11,6 +11,7 @@ Usage: python scripts/e2e_complex.py [--size 10000] [--backend jax|host|both]
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
@@ -18,7 +19,15 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 TV = pathlib.Path("/root/reference/test-vectors/complex-circuit")
-CACHE = pathlib.Path(__file__).resolve().parents[1] / ".cache"
+# honor CIRCOM_TPU_CACHE so callers that resolve fixtures via
+# paths.cache_dir() (e.g. __graft_entry__.entry_production) find the zkey
+# this script writes (ADVICE r4)
+CACHE = pathlib.Path(
+    os.environ.get(
+        "CIRCOM_TPU_CACHE",
+        pathlib.Path(__file__).resolve().parents[1] / ".cache",
+    )
+)
 
 
 def main():

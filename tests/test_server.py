@@ -42,7 +42,7 @@ def test_ping_reports_compile(server):
     assert resp["n_vars"] == srv.dpk.n_vars
 
 
-def test_prove_from_inputs_verifies(server, test_vectors):
+def test_prove_from_inputs_verifies(server, test_vectors, tmp_path):
     sock, _ = server
     resp = request(sock, {"inputs": {"a": 3, "b": 11}})
     assert resp["ok"], resp
@@ -50,12 +50,13 @@ def test_prove_from_inputs_verifies(server, test_vectors):
     # verify against the real snarkjs verification key
     from circom_compat_tpu.cli import main as cli_main
 
-    proof_path = "/tmp/_srv_proof.json"
+    proof_path = str(tmp_path / "proof.json")
+    public_path = str(tmp_path / "public.json")
     json.dump(resp["proof"], open(proof_path, "w"))
-    json.dump(resp["public"], open("/tmp/_srv_public.json", "w"))
+    json.dump(resp["public"], open(public_path, "w"))
     rc = cli_main([
         "verify", str(test_vectors / "verification_key.json"),
-        "/tmp/_srv_public.json", proof_path,
+        public_path, proof_path,
     ])
     assert rc == 0
 
