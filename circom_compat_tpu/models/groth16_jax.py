@@ -32,6 +32,7 @@ from ..ops import field_jax as fj
 from ..ops import limbs as limb_codec
 from ..ops import msm as msm_ops
 from ..ops import ntt
+from ..ops import segments
 
 
 def _sorted_coo(rows, cols, vals_mont_u16):
@@ -68,17 +69,55 @@ class DeviceProvingKey:
     b_rows: jnp.ndarray
     b_cols: jnp.ndarray
     b_vals: jnp.ndarray
-    # G1 queries stacked [a, b1, l, h], padded to one length:
-    # (4, N_max, 16) x and y (affine Montgomery; all-zero row = infinity).
-    # Query/value limb arrays are staged in uint16 (zkey wire width) and
-    # widened to the kernels' uint32 on device inside the prove core.
-    g1_stack_x: jnp.ndarray
-    g1_stack_y: jnp.ndarray
+    # Query sections in GATHER-PACKED layout (round 5): the A, B1 and B2
+    # MSMs of a proof share one scalar vector (the assignment), hence one
+    # per-window sort permutation — so their affine rows are interleaved
+    # into ONE (N_max, 128) uint16 array [A.x | A.y | B1.x | B1.y | B2.x0
+    # B2.x1 | B2.y0 B2.y1] and each window's six coordinate gathers become
+    # ONE 256 B-row take. Measured (scripts/bench_gather2.py, 2^20, v5e):
+    # XLA's take is per-ROW issue-bound — 32 B rows gather in 19.1 ms,
+    # 256 B rows in 15.0 ms — so the packed gather is ~8x cheaper than six
+    # narrow ones, the post-gather slices + u32 widen are free, BUT ONLY
+    # for 2-D operands: a (N, 8, 16) 3-D layout of the same bytes gathers
+    # at 94 ms (take-3d-w256B) — hence the flat trailing axis here. L and
+    # H have their own scalar orders and ride (N_max, 32) xy-packs.
+    # All-zero rows = infinity (zkey convention); uint16 is the zkey wire
+    # width, widened on device post-gather.
+    abq_pack: jnp.ndarray  # (N_max, 128) uint16
+    l_pack: jnp.ndarray  # (N_max, 32) uint16 [x | y]
+    h_pack: jnp.ndarray  # (N_max, 32) uint16
     g1_lengths: tuple  # true lengths (n_vars, n_vars, aux_len, h_len)
-    # G2 query (B2): ((n_max, 2, 16), (n_max, 2, 16)), zero-padded
-    b_g2_query: tuple
     g2_len: int = 0  # true (unpadded) B2 section length
     _cache: dict = field(default_factory=dict, repr=False)
+
+    @property
+    def n_points(self) -> int:
+        return self.abq_pack.shape[0]
+
+    # Legacy (4, N_max, 16) stacked views for the sharded/multihost
+    # builders, materialized on demand (those paths re-pad into their own
+    # layouts at build time, so the transient copy is short-lived).
+    @property
+    def g1_stack_x(self):
+        return jnp.stack([
+            self.abq_pack[:, 0:16], self.abq_pack[:, 32:48],
+            self.l_pack[:, 0:16], self.h_pack[:, 0:16],
+        ])
+
+    @property
+    def g1_stack_y(self):
+        return jnp.stack([
+            self.abq_pack[:, 16:32], self.abq_pack[:, 48:64],
+            self.l_pack[:, 16:32], self.h_pack[:, 16:32],
+        ])
+
+    @property
+    def b_g2_query(self):
+        n = self.abq_pack.shape[0]
+        return (
+            self.abq_pack[:, 64:96].reshape(n, 2, 16),
+            self.abq_pack[:, 96:128].reshape(n, 2, 16),
+        )
 
     @staticmethod
     def build(
@@ -98,39 +137,35 @@ class DeviceProvingKey:
         if num_inputs is None:
             num_inputs = matrices.num_instance_variables
 
-        # Fill the final stacked layout in ONE widening pass per coordinate,
-        # straight from the (possibly mmap-backed) uint16 section views — the
-        # astype+stack+pad chain this replaces copied the ~1 GB of 2^20-scale
-        # query points five times over.
-        # Stage in uint16 — the zkey's own limb width. Widening to the
-        # kernels' uint32 happens ON DEVICE at the top of the prove core:
+        # Fill the gather-packed layout in ONE pass per coordinate straight
+        # from the (possibly mmap-backed) uint16 section views. Stage in
+        # uint16 — the zkey's own limb width. Widening to the kernels'
+        # uint32 happens ON DEVICE post-gather inside the prove core:
         # halves the host->device bytes (which ride a ~1 GB/s tunnel under
         # axon) and avoids host-side cast passes over GB-scale sections.
+        # All padding rows stay zero = infinity, neutral in any bucket.
         sections = (pk.a_query, pk.b_g1_query, pk.l_query, pk.h_query)
         lengths = tuple(len(s) for s in sections)
         n_max = max(lengths)
-        xs = np.zeros((4, n_max, 16), np.uint16)
-        ys = np.zeros((4, n_max, 16), np.uint16)
-        for k, sec in enumerate(sections):
-            n = len(sec)
-            xs[k, :n] = sec.limbs[:, 0]
-            ys[k, :n] = sec.limbs[:, 1]
-
-        # G2 padded to the same n_max as the G1 stack (all-zero rows decode
-        # to infinity) so the B2 MSM can reuse the assignment's window sort.
         g2_src = pk.b_g2_query.limbs  # (n, 4, 16) uint16
         n2 = g2_src.shape[0]
-        g2_x = np.zeros((n_max, 2, 16), np.uint16)
-        g2_y = np.zeros((n_max, 2, 16), np.uint16)
-        g2_x[:n2] = g2_src[:, 0:2]
-        g2_y[:n2] = g2_src[:, 2:4]
+
+        abq = np.zeros((n_max, 128), np.uint16)
+        abq_v = abq.reshape(n_max, 8, 16)
+        a_l, b1_l = lengths[0], lengths[1]
+        abq_v[:a_l, 0:2] = pk.a_query.limbs
+        abq_v[:b1_l, 2:4] = pk.b_g1_query.limbs
+        abq_v[:n2, 4:8] = g2_src
+
+        def xy_pack(sec):
+            n = len(sec)
+            out = np.zeros((n_max, 32), np.uint16)
+            out.reshape(n_max, 2, 16)[:n] = sec.limbs
+            return out
 
         ar, ac, av = _sorted_coo(matrices.a_rows, matrices.a_cols, matrices.a_values_mont)
         br, bc, bv = _sorted_coo(matrices.b_rows, matrices.b_cols, matrices.b_values_mont)
-        from ..utils.xfer import put_chunked
-
-        def put_stack(a):  # (4, n, 16): chunk along the flattened rows
-            return put_chunked(a.reshape(-1, a.shape[-1])).reshape(a.shape)
+        from ..utils.xfer import put_chunked as put_rows
 
         return DeviceProvingKey(
             pk=pk,
@@ -141,10 +176,10 @@ class DeviceProvingKey:
             aux_len=lengths[2],
             a_rows=ar, a_cols=ac, a_vals=av,
             b_rows=br, b_cols=bc, b_vals=bv,
-            g1_stack_x=put_stack(xs),
-            g1_stack_y=put_stack(ys),
+            abq_pack=put_rows(abq),
+            l_pack=put_rows(xy_pack(pk.l_query)),
+            h_pack=put_rows(xy_pack(pk.h_query)),
             g1_lengths=lengths,
-            b_g2_query=(put_chunked(g2_x), put_chunked(g2_y)),
             g2_len=n2,
         )
 
@@ -199,8 +234,7 @@ def _device_arrays(dpk: DeviceProvingKey) -> dict:
         dpk._cache["arrays"] = {
             "a_rows": dpk.a_rows, "a_cols": dpk.a_cols, "a_vals": dpk.a_vals,
             "b_rows": dpk.b_rows, "b_cols": dpk.b_cols, "b_vals": dpk.b_vals,
-            "g1_x": dpk.g1_stack_x, "g1_y": dpk.g1_stack_y,
-            "g2_x": dpk.b_g2_query[0], "g2_y": dpk.b_g2_query[1],
+            "abq": dpk.abq_pack, "lpk": dpk.l_pack, "hpk": dpk.h_pack,
             "ntt": {
                 "tw_fwd": jnp.asarray(plan.tw_fwd),
                 "tw_inv": jnp.asarray(plan.tw_inv),
@@ -234,7 +268,7 @@ def _device_arrays(dpk: DeviceProvingKey) -> dict:
 
 def _scalar_stack(dpk: DeviceProvingKey, asg_plain: jnp.ndarray, h_plain: jnp.ndarray):
     """(4, N_max, 16) scalars for [a, b1, l, h]; padding rows are zero."""
-    n_max = dpk.g1_stack_x.shape[1]
+    n_max = dpk.n_points
 
     def fit(sc, true_len):
         sc = sc[:true_len]
@@ -313,7 +347,7 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
         else:
             h_plain = fj.from_mont_impl(fj.FR, h_mont)
 
-        n_max = arrays["g1_x"].shape[1]
+        n_max = arrays["abq"].shape[0]
 
         def fit(sc, true_len):
             sc = sc[:true_len]
@@ -321,67 +355,140 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
 
         la, lb1, ll, lh = g1_lengths
         sc_a = fit(asg_plain, la)
-        sc_b1 = sc_a if lb1 == la else fit(asg_plain, lb1)
         sc_l = fit(asg_plain[num_inputs : num_inputs + aux_len], ll)
         sc_h = fit(h_plain, lh)
-        sc = jnp.stack([sc_a, sc_b1, sc_l, sc_h])
+        # A, B1 and B2 share the assignment scalar vector (reference: the
+        # a_i driving ark-groth16's three query MSMs), so one per-window
+        # argsort serves all three; L and H sort their own scalars. Beyond
+        # the shared sort, the round-5 layout shares the per-window GATHER:
+        # rows of the abq pack carry all six A/B1/B2 coordinates, so each
+        # window issues ONE 256 B-row take + two 64 B-row takes (L, H)
+        # instead of ten narrow ones — see DeviceProvingKey.abq_pack.
+        oa, ka = msm_ops.window_orders(sc_a, window_bits)
+        ol, kl = msm_ops.window_orders(sc_l, window_bits)
+        oh, kh = msm_ops.window_orders(sc_h, window_bits)
 
-        # A, B1 and B2 share the assignment scalars, so their per-window
-        # argsorts are identical: compute each distinct scalar set's sort
-        # ONCE (msm_ops.window_orders) and feed the sums precomputed
-        # (orders, keys). Chunked window sums re-index per chunk, so the
-        # sharing only applies when one chunk covers n_max.
-        share = n_max <= msm_ops.CHUNK_POINTS
-        if share:
-            oa, ka = msm_ops.window_orders(sc_a, window_bits)
-            ob1, kb1 = (
-                (oa, ka) if sc_b1 is sc_a
-                else msm_ops.window_orders(sc_b1, window_bits)
-            )
-            ol, kl = msm_ops.window_orders(sc_l, window_bits)
-            oh, kh = msm_ops.window_orders(sc_h, window_bits)
-            orders = jnp.stack([oa, ob1, ol, oh])
-            keys = jnp.stack([ka, kb1, kl, kh])
-
-            def g1_one(args):
-                xs, ys, s, o, k = args
-                # uint16 affine rows go straight into the per-window
-                # gathers (64 B/point); widen + projective encode happen
-                # post-gather
-                return msm_ops.window_sums_affine_impl(
-                    cj.FQ_ADAPTER, xs, ys, s, window_bits, precomp=(o, k)
-                )
-
-            g1_sums = jax.lax.map(
-                g1_one, (arrays["g1_x"], arrays["g1_y"], sc, orders, keys)
-            )
-            if g2_len == la:
-                sc2, pre2 = sc_a, (oa, ka)
-            else:
-                sc2 = fit(asg_plain, g2_len)
-                pre2 = msm_ops.window_orders(sc2, window_bits)
-            g2_sums = msm_ops.window_sums_affine_impl(
-                cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
-                sc2, window_bits, precomp=pre2,
-            )
-        else:
-
-            def g1_one(args):
-                xs, ys, s = args
-                return msm_ops.window_sums_affine_impl(
-                    cj.FQ_ADAPTER, xs, ys, s, window_bits
-                )
-
-            g1_sums = jax.lax.map(
-                g1_one, (arrays["g1_x"], arrays["g1_y"], sc)
-            )
-            g2_sums = msm_ops.window_sums_affine_impl(
-                cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
-                fit(asg_plain, g2_len), window_bits,
-            )
-        return g1_sums, g2_sums
+        return _packed_window_sums(
+            arrays["abq"], arrays["lpk"], arrays["hpk"],
+            (oa, ka, ol, kl, oh, kh), window_bits,
+        )
 
     return core
+
+
+def _packed_window_sums(abq, lpk, hpk, sorts, window_bits, _ablate=None):
+    """All five MSMs' window sums from packed rows + precomputed sorts.
+
+    Returns ((4, W, pt) G1 sums for [A, B1, L, H], (W, pt) G2 sums). The
+    per-window body gathers the 256 B abq rows once (A/B1/B2 share the
+    order), the L/H xy-packs once each, then runs ONE instantiation of the
+    G1 bucket pipeline (lax.map over the four gathered sets) and one G2.
+
+    Rows beyond CHUNK_POINTS are processed in an inner chunk loop: chunk
+    slices of a sorted key vector stay sorted, bucket sums are additive
+    across chunks, and the tail chunk's (order 0, key 0) padding lands in
+    bucket 0 which the suffix scan drops — so peak per-window transients
+    stay bounded at any N.
+
+    _ablate: in-jit measurement hook for scripts/ablate_core20.py (the
+    only attribution method that survives the axon tunnel): "no-g2" drops
+    the B2 pipeline (identity output), "no-gather" replaces the three
+    takes with contiguous slices (same downstream shapes/work)."""
+    FQ, FQ2 = cj.FQ_ADAPTER, cj.FQ2_ADAPTER
+    cmb1, cmb2 = msm_ops.combine_for(FQ), msm_ops.combine_for(FQ2)
+    leaf1, leaf2 = msm_ops.leaf_combine_for(FQ), msm_ops.leaf_combine_for(FQ2)
+    ts1, ts2 = msm_ops.tile_scans_for(FQ), msm_ops.tile_scans_for(FQ2)
+    ident1 = tuple(jnp.asarray(c) for c in cj.proj_identity_const(FQ))
+    ident2 = tuple(jnp.asarray(c) for c in cj.proj_identity_const(FQ2))
+    B = 1 << window_bits
+    N = abq.shape[0]
+    CH = min(N, msm_ops.CHUNK_POINTS)
+    pad = (-N) % CH
+    C = (N + pad) // CH
+    sorts = tuple(
+        jnp.pad(s, ((0, 0), (0, pad))).reshape(s.shape[0], C, CH)
+        for s in sorts
+    )
+
+    def per_chunk(t):
+        o_a, k_a, o_l, k_l, o_h, k_h = t
+        ch = o_a.shape[0]
+        if _ablate == "no-gather":
+            big = abq[:ch].astype(jnp.uint32)
+            lg = lpk[:ch].astype(jnp.uint32)
+            hg = hpk[:ch].astype(jnp.uint32)
+        else:
+            # 2-D gathers only — a 3-D operand of the same bytes is ~6x
+            # slower (take-3d-* rows in scripts/bench_gather2.py)
+            big = abq.at[o_a].get(
+                mode="promise_in_bounds"
+            ).astype(jnp.uint32)  # (CH, 128)
+            lg = lpk.at[o_l].get(
+                mode="promise_in_bounds"
+            ).astype(jnp.uint32)  # (CH, 32)
+            hg = hpk.at[o_h].get(
+                mode="promise_in_bounds"
+            ).astype(jnp.uint32)
+        xs4 = jnp.stack([
+            big[:, 0:16], big[:, 32:48], lg[:, 0:16], hg[:, 0:16]
+        ])
+        ys4 = jnp.stack([
+            big[:, 16:32], big[:, 48:64], lg[:, 16:32], hg[:, 16:32]
+        ])
+        keys4 = jnp.stack([k_a, k_a, k_l, k_h])
+
+        def g1_one(args):
+            x, y, k = args
+            pts = cj.affine_to_proj(FQ, x, y)
+            return msm_ops._bucket_reduce(
+                cmb1, leaf1, ts1, pts, k, B, ident1
+            )
+
+        g1_b = jax.lax.map(g1_one, (xs4, ys4, keys4))  # (4, B, pt)
+        if _ablate == "no-g2":
+            g2_b = jax.tree_util.tree_map(
+                lambda c: jnp.broadcast_to(
+                    c, (B,) + np.shape(c)
+                ).astype(jnp.uint32),
+                ident2,
+            )
+        else:
+            pts2 = cj.affine_to_proj(
+                FQ2,
+                big[:, 64:96].reshape(ch, 2, 16),
+                big[:, 96:128].reshape(ch, 2, 16),
+            )
+            g2_b = msm_ops._bucket_reduce(
+                cmb2, leaf2, ts2, pts2, k_a, B, ident2
+            )
+        return g1_b, g2_b
+
+    def per_window(t):
+        if C == 1:
+            g1_b, g2_b = per_chunk(
+                jax.tree_util.tree_map(lambda x: x[0], t)
+            )
+        else:
+            g1_parts, g2_parts = jax.lax.map(per_chunk, t)  # (C, ...)
+            g1_b = segments.fold(cmb1, g1_parts, ident1)
+            g2_b = segments.fold(cmb2, g2_parts, ident2)
+        g1_w = jax.lax.map(
+            lambda b: msm_ops._scan_buckets(cmb1, ts1, b, ident1), g1_b
+        )
+        if _ablate == "no-g2":
+            g2_w = jax.tree_util.tree_map(
+                lambda c: jnp.asarray(c, jnp.uint32), ident2
+            )
+        else:
+            g2_w = msm_ops._scan_buckets(cmb2, ts2, g2_b, ident2)
+        return g1_w, g2_w
+
+    g1_wm, g2_sums = jax.lax.map(per_window, sorts)
+    # (W, 4, pt) -> (4, W, pt) to match the host fold's layout
+    g1_sums = jax.tree_util.tree_map(
+        lambda x: jnp.swapaxes(x, 0, 1), g1_wm
+    )
+    return g1_sums, g2_sums
 
 
 def default_window_bits(n: Optional[int] = None) -> int:

@@ -5,17 +5,20 @@ notes: standalone sub-jits carry 35-400 ms dispatch cost and D2H fetches
 poison forced timings) is compiling the FULL core with one stage removed
 and differencing steady-state times:
 
-  full        : production core (witness map + 4x G1 MSM + G2 MSM)
+  full        : production core (witness map + packed-gather MSM pipeline)
   no-witmap   : h replaced by a slice of the assignment (NTTs DCE'd out)
-  witmap-only : return h_plain, all five MSMs DCE'd out
-  no-g2       : g2 sums replaced by identity constants (B2 MSM DCE'd)
-  g2-signed   : B2 MSM on signed digits (halved bucket tail, own recode
-                instead of the shared unsigned sort) — the datapoint the
-                ops/msm.py:312 tombstone lacks (its numbers are G1-only)
+  witmap-only : return h_plain, all five MSMs DCE'd out (D2H-contaminated
+                by the 64 MB h fetch — use the no-witmap delta instead)
+  no-g2       : B2 bucket pipeline + tail dropped (gathers kept)
+  no-gather   : the three per-window takes replaced by contiguous slices
+                (same downstream shapes/work) — in-core gather cost
+  g2-signed   : B2 MSM on signed digits via the legacy unpacked path
+                (r5 datapoint: LOSES, 8.63 s vs 8.33 s on the r4 core)
 
-Differences give the CURRENT in-core cost of the witness map (the ~1.7 s
-figure on the books is round-1 vintage, pre pass-fusion) and of the G2
-MSM, plus whether signed digits pay at G2's 3.9x combine cost.
+Round-5 measured history (all steady, w13, reps 3):
+  r4 core:   full 8.33 / no-witmap 7.32 / no-g2 5.24 / g2-signed 8.63
+  packed v1: 9.11 e2e (3-D gather operand fell off XLA's wide-row path)
+  packed v2: 7.47 e2e (2-D rows; see DeviceProvingKey.abq_pack)
 
   python scripts/ablate_core20.py --log-domain 20 --reps 3
 """
@@ -37,10 +40,10 @@ import numpy as np
 
 
 def build_variant(dpk, window_bits, mode):
-    """_prove_core with one stage removed; mirrors models/groth16_jax.py
-    (kept in the script so the production core stays flag-free)."""
+    """The production core with one stage removed (gj._packed_window_sums
+    carries the in-jit _ablate hook so this harness measures the real
+    body, not a drifting copy)."""
     from circom_compat_tpu.models import groth16_jax as gj
-    from circom_compat_tpu.ops import curve_jax as cj
     from circom_compat_tpu.ops import field_jax as fj
     from circom_compat_tpu.ops import msm as msm_ops
     from circom_compat_tpu.ops import ntt
@@ -50,14 +53,12 @@ def build_variant(dpk, window_bits, mode):
     domain_size = dpk.domain_size
     g1_lengths = dpk.g1_lengths
     aux_len = dpk.aux_len
-    g2_len = dpk.g2_len
 
     def core(arrays, asg_plain):
         plan_t = gj._TracedNTTPlan(domain_size, arrays["ntt"])
         from circom_compat_tpu.ops import field_pallas as fp
 
         if mode == "no-witmap":
-            # same shape/dtype as the real h; the NTT pipeline is dead code
             h_plain = jnp.pad(
                 asg_plain[:domain_size],
                 ((0, max(0, domain_size - asg_plain.shape[0])), (0, 0)),
@@ -80,7 +81,7 @@ def build_variant(dpk, window_bits, mode):
         if mode == "witmap-only":
             return h_plain
 
-        n_max = arrays["g1_x"].shape[1]
+        n_max = arrays["abq"].shape[0]
 
         def fit(sc, true_len):
             sc = sc[:true_len]
@@ -88,50 +89,34 @@ def build_variant(dpk, window_bits, mode):
 
         la, lb1, ll, lh = g1_lengths
         sc_a = fit(asg_plain, la)
-        sc_b1 = sc_a if lb1 == la else fit(asg_plain, lb1)
         sc_l = fit(asg_plain[num_inputs : num_inputs + aux_len], ll)
         sc_h = fit(h_plain, lh)
-        sc = jnp.stack([sc_a, sc_b1, sc_l, sc_h])
-
         oa, ka = msm_ops.window_orders(sc_a, window_bits)
         ol, kl = msm_ops.window_orders(sc_l, window_bits)
         oh, kh = msm_ops.window_orders(sc_h, window_bits)
-        orders = jnp.stack([oa, oa, ol, oh])
-        keys = jnp.stack([ka, ka, kl, kh])
+        sorts = (oa, ka, ol, kl, oh, kh)
 
-        def g1_one(args):
-            xs, ys, s, o, k = args
-            return msm_ops.window_sums_affine_impl(
-                cj.FQ_ADAPTER, xs, ys, s, window_bits, precomp=(o, k)
+        if mode == "g2-signed":
+            from circom_compat_tpu.ops import curve_jax as cj
+
+            g1_sums, _ = gj._packed_window_sums(
+                arrays["abq"], arrays["lpk"], arrays["hpk"],
+                sorts, window_bits, _ablate="no-g2",
             )
+            n = arrays["abq"].shape[0]
+            g2_sums = msm_ops.window_sums_affine_impl(
+                cj.FQ2_ADAPTER,
+                arrays["abq"][:, 64:96].reshape(n, 2, 16),
+                arrays["abq"][:, 96:128].reshape(n, 2, 16),
+                sc_a, window_bits, signed=True,
+            )
+            return g1_sums, g2_sums
 
-        g1_sums = jax.lax.map(
-            g1_one, (arrays["g1_x"], arrays["g1_y"], sc, orders, keys)
+        ablate = mode if mode in ("no-g2", "no-gather") else None
+        return gj._packed_window_sums(
+            arrays["abq"], arrays["lpk"], arrays["hpk"],
+            sorts, window_bits, _ablate=ablate,
         )
-        if mode == "no-g2":
-            ident = cj.proj_identity_const(cj.FQ2_ADAPTER)
-            W = msm_ops.num_windows(window_bits)
-            g2_sums = tuple(
-                jnp.broadcast_to(jnp.asarray(c), (W,) + np.shape(c)).astype(
-                    jnp.uint32
-                )
-                for c in ident
-            )
-        elif mode == "g2-signed":
-            g2_sums = msm_ops.window_sums_affine_impl(
-                cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
-                fit(asg_plain, g2_len), window_bits, signed=True,
-            )
-        else:
-            sc2, pre2 = (sc_a, (oa, ka)) if g2_len == la else (
-                fit(asg_plain, g2_len),
-                msm_ops.window_orders(fit(asg_plain, g2_len), window_bits),
-            )
-            g2_sums = msm_ops.window_sums_affine_impl(
-                cj.FQ2_ADAPTER, arrays["g2_x"], arrays["g2_y"],
-                sc2, window_bits, precomp=pre2,
-            )
-        return g1_sums, g2_sums
 
     return core
 
@@ -141,14 +126,13 @@ def main():
     ap.add_argument("--log-domain", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
-        "--modes", default="full,no-witmap,witmap-only,no-g2,g2-signed"
+        "--modes", default="full,no-witmap,no-g2,no-gather"
     )
     args = ap.parse_args()
 
     from e2e_large import get_key, witness_for
 
     from circom_compat_tpu.models import groth16_jax as gj
-    from circom_compat_tpu.ops import field_jax as fj
 
     pk, matrices, n_b = get_key(args.log_domain)
     dpk = gj.DeviceProvingKey.build(pk, matrices, matrices.num_constraints)

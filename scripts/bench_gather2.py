@@ -110,6 +110,47 @@ def main():
     bench("take-4x", lambda s, i: jnp.take(s, i, axis=0),
           d_src16, idx4, 4 * n * row_bytes)
 
+    # Row-WIDTH scaling (round 5): the A/B1/B2 MSMs share one window
+    # permutation (same assignment scalars), so their per-window gathers
+    # could be ONE take over xy-interleaved rows — A.x|A.y|B1.x|B1.y = 128 B,
+    # + B2's four Fq limbs rows = 256 B. If per-row cost is issue-bound
+    # (flat-ish in width), a 256 B row replaces 4x32 B + 2x64 B gathers at
+    # ~2x one row's cost. The -split variants add the downstream cost of
+    # slicing the packed block back into per-coordinate arrays.
+    for k in (2, 4, 8):
+        wide = np.concatenate([src16] * k, axis=1)  # (n, 16k)
+        d_wide = jnp.asarray(wide)
+        bench(f"take-w{16*k*2}B-hints", take_h, d_wide, d_idx,
+              n * row_bytes * k)
+
+        def split_sum(s, i, k=k):
+            g = s.at[i].get(mode="promise_in_bounds", unique_indices=True)
+            parts = [
+                g[:, j * 16 : (j + 1) * 16].astype(jnp.uint32)
+                for j in range(k)
+            ]
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc + p
+            return acc
+
+        bench(f"take-w{16*k*2}B-split", split_sum, d_wide, d_idx,
+              n * row_bytes * k)
+
+        # in-context shape probes: 3-D operand (N, k, 16) as the packed
+        # core stores it, and the post-gather u32 widen — either may knock
+        # XLA off the wide-row fast path the 2-D benches hit
+        d_wide3 = jnp.asarray(wide.reshape(n, k, 16))
+        bench(f"take-3d-w{16*k*2}B", take_h, d_wide3, d_idx,
+              n * row_bytes * k)
+
+        def gather_widen(s, i):
+            g = s.at[i].get(mode="promise_in_bounds", unique_indices=True)
+            return g.astype(jnp.uint32)
+
+        bench(f"take-w{16*k*2}B-widen", gather_widen, d_wide, d_idx,
+              n * row_bytes * k)
+
     if results:
         best = min(results, key=results.get)
         base = results.get("take")
