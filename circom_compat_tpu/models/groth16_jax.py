@@ -376,10 +376,14 @@ def _prove_core(dpk: DeviceProvingKey, window_bits: int):
     return core
 
 
-def _packed_window_sums(abq, lpk, hpk, sorts, window_bits, _ablate=None):
+def _packed_window_sums(abq, lpk, hpk, sorts, window_bits, _ablate=None,
+                        want_buckets=False):
     """All five MSMs' window sums from packed rows + precomputed sorts.
 
-    Returns ((4, W, pt) G1 sums for [A, B1, L, H], (W, pt) G2 sums). The
+    Returns ((4, W, pt) G1 sums for [A, B1, L, H], (W, pt) G2 sums); with
+    want_buckets=True the suffix scans are deferred and the shapes are
+    ((4, W, B, pt), (W, B, pt)) — bucket sums are additive across point
+    subsets, which is what the streamed provers accumulate per chunk. The
     per-window body gathers the 256 B abq rows once (A/B1/B2 share the
     order), the L/H xy-packs once each, then runs ONE instantiation of the
     G1 bucket pipeline (lax.map over the four gathered sets) and one G2.
@@ -472,6 +476,8 @@ def _packed_window_sums(abq, lpk, hpk, sorts, window_bits, _ablate=None):
             g1_parts, g2_parts = jax.lax.map(per_chunk, t)  # (C, ...)
             g1_b = segments.fold(cmb1, g1_parts, ident1)
             g2_b = segments.fold(cmb2, g2_parts, ident2)
+        if want_buckets:
+            return g1_b, g2_b
         g1_w = jax.lax.map(
             lambda b: msm_ops._scan_buckets(cmb1, ts1, b, ident1), g1_b
         )
@@ -484,7 +490,7 @@ def _packed_window_sums(abq, lpk, hpk, sorts, window_bits, _ablate=None):
         return g1_w, g2_w
 
     g1_wm, g2_sums = jax.lax.map(per_window, sorts)
-    # (W, 4, pt) -> (4, W, pt) to match the host fold's layout
+    # (W, 4, ...) -> (4, W, ...) to match the host fold's layout
     g1_sums = jax.tree_util.tree_map(
         lambda x: jnp.swapaxes(x, 0, 1), g1_wm
     )

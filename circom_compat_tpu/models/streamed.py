@@ -164,13 +164,15 @@ def _witness_arrays(spk: StreamedProvingKey) -> dict:
     return spk._cache["arrays"]
 
 
-def _init_buckets(F, window_bits: int):
-    """(W, B, point) all-identity bucket accumulator (concrete buffers so
-    the chunk jits can donate them)."""
+def _init_buckets(F, window_bits: int, lead=()):
+    """(*lead, W, B, point) all-identity bucket accumulator (concrete
+    buffers so the chunk jits can donate them)."""
     W = msm_ops.num_windows(window_bits)
     B = 1 << window_bits
     return tuple(
-        jnp.tile(jnp.asarray(c), (W, B) + (1,) * np.ndim(c)).astype(jnp.uint32)
+        jnp.tile(
+            jnp.asarray(c), lead + (W, B) + (1,) * np.ndim(c)
+        ).astype(jnp.uint32)
         for c in cj.proj_identity_const(F)
     )
 
@@ -219,7 +221,7 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
 
         def fused(a_xs, a_ys, b1_xs, b1_ys, l_xs, l_ys, h_xs, h_ys,
                   g2_xs, g2_ys, sc_asg_full, sc_l_full, sc_h_full, lo,
-                  acc_a, acc_b1, acc_l, acc_h, acc_g2):
+                  acc_g1, acc_g2):
             # scalars stay DEVICE-RESIDENT for the whole prove (uploaded
             # once / produced on device by the witness jit) and are sliced
             # here — per-chunk scalar H2D and the h_plain D2H round-trip
@@ -229,36 +231,51 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
             def sl(full):
                 return jax.lax.dynamic_slice_in_dim(full, lo, chunk, 0)
 
-            pre = msm_ops.window_orders(
+            # Per-chunk gather packs (round 5): the sections arrive as ten
+            # narrow chunk arrays over H2D, then ONE device pass builds the
+            # (chunk, 128)/(chunk, 32) packed rows so every window issues
+            # one 256 B A/B1/B2 take + two 64 B L/H takes instead of ten
+            # narrow ones (see DeviceProvingKey.abq_pack). The packed body
+            # also instantiates the G1 bucket pipeline ONCE (lax.map over
+            # the four sections) instead of four times — the fused chunk
+            # graph is correspondingly smaller to compile.
+            from . import groth16_jax as gj
+
+            abq = jnp.concatenate([
+                a_xs, a_ys, b1_xs, b1_ys,
+                g2_xs.reshape(chunk, 32), g2_ys.reshape(chunk, 32),
+            ], axis=-1)
+            lpk = jnp.concatenate([l_xs, l_ys], axis=-1)
+            hpk = jnp.concatenate([h_xs, h_ys], axis=-1)
+            oa, ka = msm_ops.window_orders(
                 sl(sc_asg_full).astype(jnp.uint32), window_bits
             )
-            bkt = lambda F, xs, ys, sc, p: msm_ops.bucket_sums_affine_impl(
-                F, xs, ys, sc, window_bits, precomp=p
+            ol, kl = msm_ops.window_orders(
+                sl(sc_l_full).astype(jnp.uint32), window_bits
             )
-            return (
-                cmb1(acc_a, bkt(FQ, a_xs, a_ys, None, pre)),
-                cmb1(acc_b1, bkt(FQ, b1_xs, b1_ys, None, pre)),
-                cmb1(acc_l, bkt(FQ, l_xs, l_ys,
-                                sl(sc_l_full).astype(jnp.uint32), None)),
-                cmb1(acc_h, bkt(FQ, h_xs, h_ys,
-                                sl(sc_h_full).astype(jnp.uint32), None)),
-                cmb2(acc_g2, bkt(FQ2, g2_xs, g2_ys, None, pre)),
+            oh, kh = msm_ops.window_orders(
+                sl(sc_h_full).astype(jnp.uint32), window_bits
             )
+            g1_b, g2_b = gj._packed_window_sums(
+                abq, lpk, hpk, (oa, ka, ol, kl, oh, kh), window_bits,
+                want_buckets=True,
+            )
+            return cmb1(acc_g1, g1_b), cmb2(acc_g2, g2_b)
 
-        def scans(acc_a, acc_b1, acc_l, acc_h, acc_g2):
-            g1 = jax.tree_util.tree_map(
-                lambda *x: jnp.stack(x), acc_a, acc_b1, acc_l, acc_h
+        def scans(acc_g1, acc_g2):
+            four, W = acc_g1[0].shape[:2]
+            g1_flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((four * W,) + x.shape[2:]), acc_g1
             )
-            g1_sums = jax.lax.map(
-                lambda b: msm_ops.windows_from_buckets_impl(FQ, b), g1
+            g1_sums = msm_ops.windows_from_buckets_impl(FQ, g1_flat)
+            g1_sums = jax.tree_util.tree_map(
+                lambda x: x.reshape((four, W) + x.shape[1:]), g1_sums
             )
             g2_sums = msm_ops.windows_from_buckets_impl(FQ2, acc_g2)
             return g1_sums, g2_sums
 
         spk._cache[key] = {
-            "fused": jax.jit(
-                fused, donate_argnums=(14, 15, 16, 17, 18)
-            ),
+            "fused": jax.jit(fused, donate_argnums=(14, 15)),
             "scans": jax.jit(scans),
             "prep": jax.jit(prep, static_argnums=(2,)),
         }
@@ -298,9 +315,10 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     sec_a, sec_b1, sec_l, sec_h = g1_secs
     sc_asg_f, sc_l_f, sc_h_f = scalars_dev
 
-    accs = tuple(
-        _init_buckets(cj.FQ_ADAPTER, window_bits) for _ in range(4)
-    ) + (_init_buckets(cj.FQ2_ADAPTER, window_bits),)
+    accs = (
+        _init_buckets(cj.FQ_ADAPTER, window_bits, lead=(4,)),
+        _init_buckets(cj.FQ2_ADAPTER, window_bits),
+    )
 
     def stage(lo):
         flat = []

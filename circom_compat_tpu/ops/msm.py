@@ -359,6 +359,27 @@ def _window_sums_one_chunk(
             combine, leaf, tscans, ident, want_buckets, group,
         )
 
+    # xy-PACK wide coordinate rows once per chunk (round 5): XLA's take is
+    # per-ROW issue-bound and jumps onto a fast path at >=128 B 2-D rows
+    # (scripts/bench_gather2.py: 32 B rows 19.1 ms, 64 B 28.9 ms, 128 B
+    # 14.8 ms per 2^20 rows), so G2's two 64 B coordinate gathers become
+    # ONE 128 B take (~4x; measured 370k -> 395k pts/s at 2^20 w13). For
+    # G1 the same pack lands on the SLOWER 64 B tier and the post-gather
+    # split relayout turns the residual win into a measured 4% loss
+    # (905k -> 878k) — so 32 B coords keep their two narrow takes.
+    xy_pack = False
+    if affine:
+        xs_p, ys_p = points
+        coord_shape = xs_p.shape[1:]
+        xy_pack = int(np.prod(coord_shape)) >= 32
+        if xy_pack:
+            n_rows = xs_p.shape[0]
+            xy_rows = jnp.concatenate(
+                [xs_p.reshape(n_rows, -1), ys_p.reshape(n_rows, -1)],
+                axis=-1,
+            )
+            coord_w = xy_rows.shape[-1] // 2
+
     def per_window(d_row):
         if precomp is not None:
             order, keys = d_row
@@ -370,14 +391,20 @@ def _window_sums_one_chunk(
         else:
             order = jnp.argsort(d_row)
             keys = d_row[order]
-        if affine:
-            # two narrow u16 gathers measure faster than one packed wide
-            # row (731.5k vs 717.2k pts/s at 2^20 w16)
-            xs, ys = points
-            xg = xs.at[order].get(
+        if xy_pack:
+            g = xy_rows.at[order].get(
                 mode="promise_in_bounds", unique_indices=True
             ).astype(jnp.uint32)
-            yg = ys.at[order].get(
+            n_g = g.shape[0]
+            xg = g[:, :coord_w].reshape((n_g,) + coord_shape)
+            yg = g[:, coord_w:].reshape((n_g,) + coord_shape)
+            pts = cj.affine_to_proj(F, xg, yg)
+        elif affine:
+            # two narrow u16 takes: fastest known form for 32 B coords
+            xg = xs_p.at[order].get(
+                mode="promise_in_bounds", unique_indices=True
+            ).astype(jnp.uint32)
+            yg = ys_p.at[order].get(
                 mode="promise_in_bounds", unique_indices=True
             ).astype(jnp.uint32)
             pts = cj.affine_to_proj(F, xg, yg)

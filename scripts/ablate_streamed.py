@@ -78,9 +78,10 @@ def main():
         return flat
 
     def fresh_accs():
-        return tuple(
-            sm._init_buckets(cj.FQ_ADAPTER, wb) for _ in range(4)
-        ) + (sm._init_buckets(cj.FQ2_ADAPTER, wb),)
+        return (
+            sm._init_buckets(cj.FQ_ADAPTER, wb, lead=(4,)),
+            sm._init_buckets(cj.FQ2_ADAPTER, wb),
+        )
 
     def msm_loop(scalars_dev, prestaged=None, do_scans=True):
         accs = fresh_accs()
@@ -103,7 +104,7 @@ def main():
             # force with a TINY fetch: np.asarray of the full (W, B, pt)
             # accumulators moved ~31 MB through the slow D2H direction and
             # made this variant read HIGHER than full (r4 first run)
-            return np.asarray(accs[0][0][0, 0])
+            return np.asarray(accs[0][0][0, 0, 0])
         sums = jits["scans"](*accs)
         return jax.tree_util.tree_map(np.asarray, sums)
 

@@ -129,6 +129,11 @@ def main():
              ".cache fixture for later prove runs), skip the prove.",
     )
     ap.add_argument(
+        "--window-bits", type=int, default=0,
+        help="0 = auto (gj.default_window_bits); nonzero forces the window "
+             "for sweep runs",
+    )
+    ap.add_argument(
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force the jax platform (env JAX_PLATFORMS is fixed at "
              "interpreter start in this image; use --platform cpu to "
@@ -249,7 +254,10 @@ def main():
     dpk = gj.DeviceProvingKey.build(pk, matrices, matrices.num_constraints)
     log(f"[key] device staging in {time.time()-t0:.1f}s")
 
-    core = gj.get_prove_core(dpk)
+    wb = args.window_bits or gj.default_window_bits(
+        max(dpk.n_vars, dpk.domain_size)
+    )
+    core = gj.get_prove_core(dpk, wb)
     asg_plain = jnp.asarray(fj.encode_plain([a % R_SCALAR for a in assignment]))
     log("[prove] compiling + first run ...")
     t0 = time.time()
@@ -279,9 +287,7 @@ def main():
     if not args.skip_verify:
         log("[verify] assembling + verifying proof ...")
         r, s = 0x1234, 0x5678
-        proof = gj.assemble_proof(
-            dpk, r, s, *out, gj.default_window_bits(max(dpk.n_vars, dpk.domain_size))
-        )
+        proof = gj.assemble_proof(dpk, r, s, *out, wb)
         pvk = Groth16.process_vk(pk.vk)
         ok = Groth16.verify_with_processed_vk(
             pvk, assignment[1 : matrices.num_instance_variables], proof
