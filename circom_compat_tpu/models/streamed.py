@@ -289,11 +289,12 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
 from ..utils.xfer import put_chunked as _put_chunked
 
 
-def _stage_rows(xs_host, ys_host, lo: int, chunk: int):
-    """Slice/zero-pad one chunk of affine storage rows and start its H2D.
-    Rows past the section end are all-zero = infinity (neutral in ANY
-    bucket under the complete group law), so short sections in a shared
-    chunk loop are safe even where the shared scalar is nonzero."""
+def _stage_rows_host(xs_host, ys_host, lo: int, chunk: int):
+    """Slice/zero-pad one chunk of affine storage rows into fresh host
+    buffers (mmap page-in + memcpy only — NO device transfer). Rows past
+    the section end are all-zero = infinity (neutral in ANY bucket under
+    the complete group law), so short sections in a shared chunk loop are
+    safe even where the shared scalar is nonzero."""
     n = xs_host.shape[0]
     lo_c = min(max(lo, 0), n)
     hi_c = min(lo + chunk, n)
@@ -302,16 +303,24 @@ def _stage_rows(xs_host, ys_host, lo: int, chunk: int):
     if hi_c > lo_c:
         xs[: hi_c - lo_c] = xs_host[lo_c:hi_c]
         ys[: hi_c - lo_c] = ys_host[lo_c:hi_c]
-    return _put_chunked(xs), _put_chunked(ys)
+    return xs, ys
 
 
 def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     """All five MSMs' bucket accumulation over host ROW chunks: one fused
     dispatch per chunk, one scans dispatch at the end. Scalars
     (`scalars_dev` = padded device-resident asg/aux/h vectors) never
-    leave the device — the fused jit slices them per chunk. A prefetch
-    thread builds chunk i+1's host row slices and issues their H2D while
-    the device runs chunk i."""
+    leave the device — the fused jit slices them per chunk.
+
+    Staging schedule (round 5): a prefetch thread does the HOST half of
+    chunk i+1's staging (mmap page-in + memcpy) while the device runs
+    chunk i, but the device_put trains are issued only AFTER blocking on
+    chunk i's accumulators. Rationale (measured): H2D through the axon
+    tunnel collapses ~30x when concurrent with compute (~46 MB/s vs
+    1.48 GB/s idle — r4 ablation put ~5 s of a 15.7 s 2^20 streamed prove
+    on overlapped staging), so deliberately SERIALIZING the transfer into
+    the device-idle window costs only bytes/1.48 GB/s per chunk and wins
+    back the rest."""
     sec_a, sec_b1, sec_l, sec_h = g1_secs
     sc_asg_f, sc_l_f, sc_h_f = scalars_dev
 
@@ -320,21 +329,30 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
         _init_buckets(cj.FQ2_ADAPTER, window_bits),
     )
 
-    def stage(lo):
+    def stage_host(lo):
         flat = []
         for xs, ys in (sec_a, sec_b1, sec_l, sec_h, g2_sec):
-            flat.extend(_stage_rows(xs, ys, lo, chunk))
+            flat.extend(_stage_rows_host(xs, ys, lo, chunk))
         return flat
 
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(stage, 0)
+        fut = pool.submit(stage_host, 0)
+        # the witness map + scalar prep are still in flight (async
+        # dispatch); chunk 0's host memcpy above overlaps them, but its
+        # put train must not — same contention collapse
+        jax.block_until_ready(scalars_dev)
         for lo in range(0, n, chunk):
-            cur = fut.result()
+            host_bufs = fut.result()
             if lo + chunk < n:
-                fut = pool.submit(stage, lo + chunk)
+                fut = pool.submit(stage_host, lo + chunk)
+            # wait for the previous chunk's compute (and, on the first
+            # chunk, the witness map) so the put train runs device-idle
+            jax.block_until_ready(accs)
+            cur = [_put_chunked(b) for b in host_bufs]
             accs = jits["fused"](
                 *cur, sc_asg_f, sc_l_f, sc_h_f, np.int32(lo), *accs
             )
+            del cur, host_bufs
             _sample_live_bytes()
     return jits["scans"](*accs)
 

@@ -71,11 +71,14 @@ def main():
     scalars_pre = jax.block_until_ready(witness_prep())
     sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
 
-    def stage(lo):
+    def stage_host(lo):
         flat = []
         for xs, ys in (sec_a, sec_b1, sec_l, sec_h, spk.g2_section):
-            flat.extend(sm._stage_rows(xs, ys, lo, chunk))
+            flat.extend(sm._stage_rows_host(xs, ys, lo, chunk))
         return flat
+
+    def stage(lo):
+        return [sm._put_chunked(b) for b in stage_host(lo)]
 
     def fresh_accs():
         return (
@@ -90,12 +93,17 @@ def main():
 
         lows = list(range(0, n, chunk))
         if prestaged is None:
+            # mirrors _stream_all's round-5 schedule: host memcpy in the
+            # prefetch thread, put trains serialized into device-idle gaps
             with ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(stage, 0)
+                fut = pool.submit(stage_host, 0)
+                jax.block_until_ready((sa, sl_, sh))
                 for i, lo in enumerate(lows):
-                    cur = fut.result()
+                    host_bufs = fut.result()
                     if i + 1 < len(lows):
-                        fut = pool.submit(stage, lows[i + 1])
+                        fut = pool.submit(stage_host, lows[i + 1])
+                    jax.block_until_ready(accs)
+                    cur = [sm._put_chunked(b) for b in host_bufs]
                     accs = jits["fused"](*cur, sa, sl_, sh, np.int32(lo), *accs)
         else:
             for lo, cur in zip(lows, prestaged):
