@@ -424,7 +424,7 @@ def main(argv=None) -> int:
     p.add_argument("witness")
     p.add_argument("proof")
     p.add_argument("public")
-    p.add_argument("--backend", default="host", choices=["host", "jax"])
+    p.add_argument("--backend", default="host", choices=["host", "jax", "streamed"])
     p.set_defaults(fn=cmd_prove)
 
     fp = sub.add_parser(
@@ -435,7 +435,7 @@ def main(argv=None) -> int:
     fp.add_argument("zkey")
     fp.add_argument("proof")
     fp.add_argument("public")
-    fp.add_argument("--backend", default="host", choices=["host", "jax"])
+    fp.add_argument("--backend", default="host", choices=["host", "jax", "streamed"])
     fp.add_argument("--sanity-check", action="store_true")
     fp.set_defaults(fn=cmd_fullprove)
 

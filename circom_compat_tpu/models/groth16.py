@@ -6,10 +6,12 @@ then five MSMs over the zkey query sections — A(G1), B1(G1), B2(G2),
 L(G1, aux only), H(G1) — combined with randomizers r,s into (A, B, C).
 Verification is one pairing product against the (processed) verifying key.
 
-Two prover backends:
-  - host: pure-Python reference (tiny circuits, parity tests)
-  - jax:  device witness map (ops/ntt.py) + device MSMs (ops/msm.py),
-          host-side only for the final tiny group algebra
+Three prover backends:
+  - host:     pure-Python reference (tiny circuits, parity tests)
+  - jax:      device witness map (ops/ntt.py) + device MSMs (ops/msm.py),
+              host-side only for the final tiny group algebra
+  - streamed: jax with HOST-resident query sections chunked to the device
+              (keys larger than HBM, models/streamed.py); bit-exact
 """
 
 from __future__ import annotations
@@ -125,6 +127,16 @@ class Groth16:
             return groth16_jax.prove(
                 pk, r, s, matrices, num_inputs, num_constraints, full_assignment
             )
+        if backend == "streamed":
+            # host-resident query sections streamed to the device in
+            # bounded chunks — for keys larger than device HBM
+            # (models/streamed.py; bit-exact vs this host backend)
+            from .streamed import StreamedProvingKey, prove_streamed
+
+            spk = StreamedProvingKey.build(
+                pk, matrices, num_constraints, num_inputs
+            )
+            return prove_streamed(spk, r, s, full_assignment)
         from ..utils import trace
 
         with trace.stage("prove.witness_map"):

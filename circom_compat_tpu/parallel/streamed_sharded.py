@@ -43,15 +43,17 @@ from ..ops import segments
 from .mesh import SHARD_AXIS, shmap
 
 
-def _init_accs_sharded(mesh: Mesh, F, window_bits: int, D: int):
-    """(D, W, B, coord) all-identity accumulators, sharded on axis 0."""
+def _init_accs_sharded(mesh: Mesh, F, window_bits: int, D: int, lead=()):
+    """(D, *lead, W, B, coord) all-identity accumulators, sharded on
+    axis 0 (one accumulator block per device)."""
     W = msm_ops.num_windows(window_bits)
     B = 1 << window_bits
     sh = NamedSharding(mesh, P(SHARD_AXIS))
     return tuple(
         jax.device_put(
             np.tile(
-                np.asarray(c, np.uint32), (D, W, B) + (1,) * np.ndim(c)
+                np.asarray(c, np.uint32),
+                (D,) + lead + (W, B) + (1,) * np.ndim(c),
             ),
             sh,
         )
@@ -83,31 +85,43 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
         )
 
     def body(a_xs, a_ys, b1_xs, b1_ys, l_xs, l_ys, h_xs, h_ys,
-             g2_xs, g2_ys, sc_asg, sc_l, sc_h, lo,
-             acc_a, acc_b1, acc_l, acc_h, acc_g2):
-        # local shard: (local, ...) rows; accumulators arrive (1, W, B, ...)
+             g2_xs, g2_ys, sc_asg, sc_l, sc_h, lo, acc_g1, acc_g2):
+        # local shard: (local, ...) rows; accumulators arrive with a
+        # leading local dim of 1. The packed body (gj._packed_window_sums)
+        # gives each device the same one-256B-take-per-window gather and
+        # single G1 pipeline instantiation as the single-chip provers.
+        from ..models import groth16_jax as gj
+
         idx = jax.lax.axis_index(SHARD_AXIS)
         off = lo + idx.astype(jnp.int32) * np.int32(local)
 
         def sl(full):
             return jax.lax.dynamic_slice_in_dim(full, off, local, 0)
 
-        pre = msm_ops.window_orders(
+        abq = jnp.concatenate([
+            a_xs, a_ys, b1_xs, b1_ys,
+            g2_xs.reshape(local, 32), g2_ys.reshape(local, 32),
+        ], axis=-1)
+        lpk = jnp.concatenate([l_xs, l_ys], axis=-1)
+        hpk = jnp.concatenate([h_xs, h_ys], axis=-1)
+        oa, ka = msm_ops.window_orders(
             sl(sc_asg).astype(jnp.uint32), window_bits
         )
-        bkt = lambda F, xs, ys, sc, p: msm_ops.bucket_sums_affine_impl(
-            F, xs, ys, sc, window_bits, precomp=p
+        ol, kl = msm_ops.window_orders(
+            sl(sc_l).astype(jnp.uint32), window_bits
+        )
+        oh, kh = msm_ops.window_orders(
+            sl(sc_h).astype(jnp.uint32), window_bits
+        )
+        g1_b, g2_b = gj._packed_window_sums(
+            abq, lpk, hpk, (oa, ka, ol, kl, oh, kh), window_bits,
+            want_buckets=True,
         )
         sq = lambda acc: jax.tree_util.tree_map(lambda x: x[0], acc)
         ex = lambda acc: jax.tree_util.tree_map(lambda x: x[None], acc)
         return (
-            ex(cmb1(sq(acc_a), bkt(FQ, a_xs, a_ys, None, pre))),
-            ex(cmb1(sq(acc_b1), bkt(FQ, b1_xs, b1_ys, None, pre))),
-            ex(cmb1(sq(acc_l), bkt(FQ, l_xs, l_ys,
-                                   sl(sc_l).astype(jnp.uint32), None))),
-            ex(cmb1(sq(acc_h), bkt(FQ, h_xs, h_ys,
-                                   sl(sc_h).astype(jnp.uint32), None))),
-            ex(cmb2(sq(acc_g2), bkt(FQ2, g2_xs, g2_ys, None, pre))),
+            ex(cmb1(sq(acc_g1), g1_b)),
+            ex(cmb2(sq(acc_g2), g2_b)),
         )
 
     rows = P(SHARD_AXIS)
@@ -115,18 +129,20 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
     acc_spec = tuple(P(SHARD_AXIS) for _ in range(3))
     fused_sm = shmap(
         body, mesh=mesh,
-        in_specs=(rows,) * 10 + (repl,) * 4 + (acc_spec,) * 5,
-        out_specs=(acc_spec,) * 5,
+        in_specs=(rows,) * 10 + (repl,) * 4 + (acc_spec,) * 2,
+        out_specs=(acc_spec,) * 2,
     )
 
-    def scans_body(acc_a, acc_b1, acc_l, acc_h, acc_g2):
+    def scans_body(acc_g1, acc_g2):
         sq = lambda acc: jax.tree_util.tree_map(lambda x: x[0], acc)
-        g1 = jax.tree_util.tree_map(
-            lambda *x: jnp.stack(x),
-            sq(acc_a), sq(acc_b1), sq(acc_l), sq(acc_h),
+        g1 = sq(acc_g1)  # (4, W, B, pt)
+        four, W = g1[0].shape[:2]
+        g1_flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((four * W,) + x.shape[2:]), g1
         )
-        g1_sums = jax.lax.map(
-            lambda b: msm_ops.windows_from_buckets_impl(FQ, b), g1
+        g1_sums = msm_ops.windows_from_buckets_impl(FQ, g1_flat)
+        g1_sums = jax.tree_util.tree_map(
+            lambda x: x.reshape((four, W) + x.shape[1:]), g1_sums
         )
         g2_sums = msm_ops.windows_from_buckets_impl(FQ2, sq(acc_g2))
         # fold the D partial window sums into replicated totals
@@ -142,11 +158,11 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
 
     scans_sm = shmap(
         scans_body, mesh=mesh,
-        in_specs=(acc_spec,) * 5, out_specs=(repl, repl),
+        in_specs=(acc_spec,) * 2, out_specs=(repl, repl),
     )
 
     return {
-        "fused": jax.jit(fused_sm, donate_argnums=(14, 15, 16, 17, 18)),
+        "fused": jax.jit(fused_sm, donate_argnums=(14, 15)),
         "scans": jax.jit(scans_sm),
         "prep": jax.jit(prep, static_argnums=(2,)),
     }
@@ -200,10 +216,10 @@ def prove_streamed_sharded(
     h_dev = spk._cache["witness"](sm._witness_arrays(spk), asg_dev)
     sc_asg, sc_l, sc_h = jits["prep"](asg_dev, h_dev, Pn)
 
-    accs = tuple(
-        _init_accs_sharded(mesh, cj.FQ_ADAPTER, window_bits, D)
-        for _ in range(4)
-    ) + (_init_accs_sharded(mesh, cj.FQ2_ADAPTER, window_bits, D),)
+    accs = (
+        _init_accs_sharded(mesh, cj.FQ_ADAPTER, window_bits, D, lead=(4,)),
+        _init_accs_sharded(mesh, cj.FQ2_ADAPTER, window_bits, D),
+    )
 
     sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
 
