@@ -174,8 +174,120 @@ def generate_parameters(
 
 
 def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.ndarray:
+    """qap.h_query_scalars in CLOSED FORM on device (round 5).
+
+    The reference computes these as iFFT([delta_inv * t^i]) over the
+    2n-size domain, keeping the odd coefficients (reference:
+    src/circom/qap.rs:90-105). But the iFFT of a geometric sequence is a
+    geometric sum with a closed form: with N = 2n, w the N-th root of
+    unity, and v_i = a*t^i for i in [0, N-2] (the last slot zero-padded),
+
+        coeff_k = a/N * (t^{N-1} w^k - 1) / (t w^{-k} - 1)
+
+    so the odd coefficients k = 2j+1 are two geometric ladders and one
+    BATCH INVERSION — O(n) memory instead of a 2n-point NTT whose XLA
+    temps blew past HBM at 2^24 domains (u32[2^24,2,17] padded 8x by
+    T(2,128) tiling: 28.1 GB requested, `.cache/round5_key24.log`). The
+    batch inversion is two mont-mul associative scans plus ONE exact host
+    inverse (Montgomery's trick, vectorized). Bit-exact vs the iFFT path
+    (tests/test_setup.py parity at small domains + the setup self-check).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..constants import fr_root_of_unity
+    from ..ops import field_jax as fj
+    from ..ops import limbs as limb_codec
+
+    n = domain_size
+    N = 2 * n
+    tm = t % R_SCALAR
+    if n & (n - 1):
+        return _h_scalar_limbs_device_ifft(domain_size, t, delta_inverse)
+    if pow(tm, N, R_SCALAR) == 1:
+        # t inside the 2n-domain: the closed form has a pole AND the key
+        # itself is degenerate toxic waste — regenerate with another t
+        raise ValueError(
+            f"setup: toxic-waste t is a {N}-th root of unity; pick a new t"
+        )
+    w = fr_root_of_unity(N)
+    w_inv = pow(w, -1, R_SCALAR)
+    a = delta_inverse % R_SCALAR
+    c_num = pow(tm, N - 1, R_SCALAR) * w % R_SCALAR  # * (w^2)^j over j
+    c_den = tm * w_inv % R_SCALAR  # * (w^-2)^j over j
+    rho = w * w % R_SCALAR
+    sigma = w_inv * w_inv % R_SCALAR
+    scale = a * pow(N, -1, R_SCALAR) % R_SCALAR
+    log_n = max(n.bit_length() - 1, 1)
+
+    def enc1(v):
+        return limb_codec.ints_to_limbs([(v << 256) % R_SCALAR], np.uint32)[0]
+
+    rho_pows = np.stack(
+        [enc1(pow(rho, 1 << b, R_SCALAR)) for b in range(log_n)]
+    )
+    sig_pows = np.stack(
+        [enc1(pow(sigma, 1 << b, R_SCALAR)) for b in range(log_n)]
+    )
+    mm = lambda x, y: fj.mont_mul_impl(fj.FR, x, y)
+
+    @jax.jit
+    def num_den_scans(rp, sp, cn, cd, one):
+        idx = jnp.arange(n, dtype=jnp.uint32)
+
+        def ladder(start, pows):
+            acc = jnp.broadcast_to(start, (n, 16)).astype(jnp.uint32)
+            for b in range(log_n):
+                mask = ((idx >> b) & 1).astype(bool)[:, None]
+                acc = jnp.where(
+                    mask, mm(acc, jnp.broadcast_to(pows[b], (n, 16))), acc
+                )
+            return acc
+
+        one_v = jnp.broadcast_to(one, (n, 16)).astype(jnp.uint32)
+        num = fj.sub_impl(fj.FR, ladder(cn, rp), one_v)
+        den = fj.sub_impl(fj.FR, ladder(cd, sp), one_v)
+        pre = jax.lax.associative_scan(mm, den, axis=0)
+        suf = jax.lax.associative_scan(mm, den, axis=0, reverse=True)
+        return num, pre, suf
+
+    num, pre, suf = num_den_scans(
+        jnp.asarray(rho_pows), jnp.asarray(sig_pows),
+        jnp.asarray(enc1(c_num)), jnp.asarray(enc1(c_den)),
+        jnp.asarray(enc1(1)),
+    )
+    # ONE exact inverse of the total denominator product, host-side
+    from ..constants import MONT_R_INV_R
+
+    total = limb_codec.limbs_to_int(np.asarray(pre[-1])) * MONT_R_INV_R % R_SCALAR
+    if total == 0:
+        raise ValueError("setup: degenerate H-denominator product")
+    t_inv = pow(total, -1, R_SCALAR)
+
+    @jax.jit
+    def finish(num, pre, suf, tinv, one, sc):
+        one_v = jnp.broadcast_to(one, (1, 16)).astype(jnp.uint32)
+        p_shift = jnp.concatenate([one_v, pre[:-1]], axis=0)
+        q_shift = jnp.concatenate([suf[1:], one_v], axis=0)
+        inv_den = mm(
+            mm(p_shift, q_shift),
+            jnp.broadcast_to(tinv, p_shift.shape).astype(jnp.uint32),
+        )
+        s = mm(mm(num, inv_den), jnp.broadcast_to(sc, num.shape).astype(jnp.uint32))
+        return fj.from_mont_impl(fj.FR, s)
+
+    plain = finish(
+        num, pre, suf, jnp.asarray(enc1(t_inv)), jnp.asarray(enc1(1)),
+        jnp.asarray(enc1(scale)),
+    )
+    return np.asarray(plain)
+
+
+def _h_scalar_limbs_device_ifft(domain_size: int, t: int, delta_inverse: int) -> np.ndarray:
     """qap.h_query_scalars on device: geometric powers host-side, the 2x
-    iFFT on the TPU NTT, odd coefficients as plain (N, 16) limbs."""
+    iFFT on the TPU NTT, odd coefficients as plain (N, 16) limbs.
+    Superseded by the closed form above (kept as its parity oracle and as
+    the non-power-of-two-domain fallback)."""
     import jax
     import jax.numpy as jnp
 

@@ -202,3 +202,34 @@ def test_setup_selfcheck_catches_corrupt_section():
     # unknown-scalar mode (H query): off-curve row must be caught too
     with pytest.raises(SetupSelfCheckError):
         _selfcheck_section("bad_h", G1Section(bad), None, samples=32)
+
+
+def test_h_scalars_closed_form_matches_ifft():
+    """The round-5 closed-form H-query scalars (geometric-sum identity,
+    batch inversion) must be bit-exact vs the 2x-domain iFFT oracle the
+    reference formulates (src/circom/qap.rs:90-105) at several domain
+    sizes and toxic-waste draws."""
+    import numpy as np
+
+    from circom_compat_tpu.models.setup import (
+        _h_scalar_limbs_device,
+        _h_scalar_limbs_device_ifft,
+    )
+
+    for n, t, d in [(4, 0x7A57E, 0xDE17A), (64, 0xBEEF, 0x1234),
+                    (256, 3, 5)]:
+        a = _h_scalar_limbs_device(n, t, d)
+        b = _h_scalar_limbs_device_ifft(n, t, d)
+        assert a.shape == b.shape == (n, 16)
+        assert np.array_equal(a, b), f"mismatch at n={n}"
+
+
+def test_h_scalars_rejects_degenerate_t():
+    import pytest as _pytest
+
+    from circom_compat_tpu.constants import fr_root_of_unity
+    from circom_compat_tpu.models.setup import _h_scalar_limbs_device
+
+    # t = an 8th root of unity makes the 2n-domain (n=4) degenerate
+    with _pytest.raises(ValueError):
+        _h_scalar_limbs_device(4, fr_root_of_unity(8), 0xD)
