@@ -231,31 +231,67 @@ def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.n
     )
     mm = lambda x, y: fj.mont_mul_impl(fj.FR, x, y)
 
-    @jax.jit
-    def num_den_scans(rp, sp, cn, cd, one):
-        idx = jnp.arange(n, dtype=jnp.uint32)
+    def blocked_inclusive_scan(x, one, reverse=False):
+        """Inclusive mont-mul prefix scan of (n, 16) via two rolled
+        lax.scan levels — jax.lax.associative_scan's recursive HLO at
+        2^24 elements OOM-killed the remote compile helper
+        (`.cache/round5_key24b.log`); the blocked form compiles to two
+        tiny loop bodies and runs O(n) work."""
+        if reverse:
+            return blocked_inclusive_scan(x[::-1], one)[::-1]
+        nn = x.shape[0]
+        K = 1 << max((nn.bit_length() - 1) // 2, 0)  # ~sqrt(n) block
+        M = nn // K
+        xt = x.reshape(M, K, 16).swapaxes(0, 1)  # (K, M, 16)
+        one_m = jnp.broadcast_to(one, (M, 16)).astype(jnp.uint32)
 
-        def ladder(start, pows):
+        def step(carry, col):
+            out = mm(carry, col)
+            return out, out
+
+        _, pref_t = jax.lax.scan(step, one_m, xt)  # (K, M, 16) in-block
+        pref = pref_t.swapaxes(0, 1)  # (M, K, 16)
+        totals = pref[:, -1]  # (M, 16)
+
+        def step1(carry, tot):  # exclusive scan of block totals
+            return mm(carry, tot), carry
+
+        one_1 = jnp.broadcast_to(one, (16,)).astype(jnp.uint32)
+        _, excl = jax.lax.scan(step1, one_1, totals)  # (M, 16)
+        return mm(
+            jnp.broadcast_to(excl[:, None], (M, K, 16)), pref
+        ).reshape(nn, 16)
+
+    # HBM discipline at 2^24 (each (n,16) buffer is 1 GB): the jits run
+    # in sequence with donated inputs so at most ~2 persistent buffers +
+    # one jit's transients are ever live — the first cut held num, den,
+    # pre and suf simultaneously and exhausted HBM.
+    def make_ladder(start_c, pows_c):
+        @jax.jit
+        def run(pows, start, one):
+            idx = jnp.arange(n, dtype=jnp.uint32)
             acc = jnp.broadcast_to(start, (n, 16)).astype(jnp.uint32)
             for b in range(log_n):
                 mask = ((idx >> b) & 1).astype(bool)[:, None]
                 acc = jnp.where(
                     mask, mm(acc, jnp.broadcast_to(pows[b], (n, 16))), acc
                 )
-            return acc
+            one_v = jnp.broadcast_to(one, (n, 16)).astype(jnp.uint32)
+            return fj.sub_impl(fj.FR, acc, one_v)
 
-        one_v = jnp.broadcast_to(one, (n, 16)).astype(jnp.uint32)
-        num = fj.sub_impl(fj.FR, ladder(cn, rp), one_v)
-        den = fj.sub_impl(fj.FR, ladder(cd, sp), one_v)
-        pre = jax.lax.associative_scan(mm, den, axis=0)
-        suf = jax.lax.associative_scan(mm, den, axis=0, reverse=True)
-        return num, pre, suf
+        return run(jnp.asarray(pows_c), jnp.asarray(enc1(start_c)),
+                   jnp.asarray(enc1(1)))
 
-    num, pre, suf = num_den_scans(
-        jnp.asarray(rho_pows), jnp.asarray(sig_pows),
-        jnp.asarray(enc1(c_num)), jnp.asarray(enc1(c_den)),
-        jnp.asarray(enc1(1)),
+    scan_fwd = jax.jit(lambda d, one: blocked_inclusive_scan(d, one))
+    scan_rev = jax.jit(
+        lambda d, one: blocked_inclusive_scan(d, one, reverse=True)
     )
+    one_j = jnp.asarray(enc1(1))
+
+    den = make_ladder(c_den, sig_pows)
+    pre = scan_fwd(den, one_j)
+    suf = scan_rev(den, one_j)
+    del den
     # ONE exact inverse of the total denominator product, host-side
     from ..constants import MONT_R_INV_R
 
@@ -264,22 +300,30 @@ def _h_scalar_limbs_device(domain_size: int, t: int, delta_inverse: int) -> np.n
         raise ValueError("setup: degenerate H-denominator product")
     t_inv = pow(total, -1, R_SCALAR)
 
-    @jax.jit
-    def finish(num, pre, suf, tinv, one, sc):
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def inv_from_scans(pre, suf, tinv, one):
         one_v = jnp.broadcast_to(one, (1, 16)).astype(jnp.uint32)
         p_shift = jnp.concatenate([one_v, pre[:-1]], axis=0)
         q_shift = jnp.concatenate([suf[1:], one_v], axis=0)
-        inv_den = mm(
+        return mm(
             mm(p_shift, q_shift),
             jnp.broadcast_to(tinv, p_shift.shape).astype(jnp.uint32),
         )
-        s = mm(mm(num, inv_den), jnp.broadcast_to(sc, num.shape).astype(jnp.uint32))
+
+    inv_den = inv_from_scans(pre, suf, jnp.asarray(enc1(t_inv)), one_j)
+    del pre, suf
+
+    num = make_ladder(c_num, rho_pows)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def final(num, inv_den, sc):
+        s = mm(mm(num, inv_den),
+               jnp.broadcast_to(sc, num.shape).astype(jnp.uint32))
         return fj.from_mont_impl(fj.FR, s)
 
-    plain = finish(
-        num, pre, suf, jnp.asarray(enc1(t_inv)), jnp.asarray(enc1(1)),
-        jnp.asarray(enc1(scale)),
-    )
+    plain = final(num, inv_den, jnp.asarray(enc1(scale)))
     return np.asarray(plain)
 
 
