@@ -219,34 +219,28 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
                 fit(h_dev),
             )
 
-        def fused(a_xs, a_ys, b1_xs, b1_ys, l_xs, l_ys, h_xs, h_ys,
-                  g2_xs, g2_ys, sc_asg_full, sc_l_full, sc_h_full, lo,
+        def fused(abq, lpk, hpk, sc_asg_full, sc_l_full, sc_h_full, lo,
                   acc_g1, acc_g2):
             # scalars stay DEVICE-RESIDENT for the whole prove (uploaded
             # once / produced on device by the witness jit) and are sliced
             # here — per-chunk scalar H2D and the h_plain D2H round-trip
             # (~4 s at 2^20 through the tunnel) are gone.
-            chunk = a_xs.shape[0]
+            chunk = abq.shape[0]
 
             def sl(full):
                 return jax.lax.dynamic_slice_in_dim(full, lo, chunk, 0)
 
-            # Per-chunk gather packs (round 5): the sections arrive as ten
-            # narrow chunk arrays over H2D, then ONE device pass builds the
-            # (chunk, 128)/(chunk, 32) packed rows so every window issues
-            # one 256 B A/B1/B2 take + two 64 B L/H takes instead of ten
+            # Per-chunk gather packs (round 5): the prefetch thread
+            # assembles the (chunk, 128)/(chunk, 32) packed rows HOST-side
+            # (_stage_packed_host) so each chunk is three put trains and
+            # zero device relayout passes, and every window issues one
+            # 256 B A/B1/B2 take + two 64 B L/H takes instead of ten
             # narrow ones (see DeviceProvingKey.abq_pack). The packed body
             # also instantiates the G1 bucket pipeline ONCE (lax.map over
             # the four sections) instead of four times — the fused chunk
             # graph is correspondingly smaller to compile.
             from . import groth16_jax as gj
 
-            abq = jnp.concatenate([
-                a_xs, a_ys, b1_xs, b1_ys,
-                g2_xs.reshape(chunk, 32), g2_ys.reshape(chunk, 32),
-            ], axis=-1)
-            lpk = jnp.concatenate([l_xs, l_ys], axis=-1)
-            hpk = jnp.concatenate([h_xs, h_ys], axis=-1)
             oa, ka = msm_ops.window_orders(
                 sl(sc_asg_full).astype(jnp.uint32), window_bits
             )
@@ -275,7 +269,7 @@ def _chunk_jits(spk: StreamedProvingKey, window_bits: int):
             return g1_sums, g2_sums
 
         spk._cache[key] = {
-            "fused": jax.jit(fused, donate_argnums=(14, 15)),
+            "fused": jax.jit(fused, donate_argnums=(7, 8)),
             "scans": jax.jit(scans),
             "prep": jax.jit(prep, static_argnums=(2,)),
         }
@@ -306,6 +300,41 @@ def _stage_rows_host(xs_host, ys_host, lo: int, chunk: int):
     return xs, ys
 
 
+def _stage_packed_host(g1_secs, g2_sec, lo: int, chunk: int):
+    """One chunk of the five sections assembled HOST-side into the packed
+    gather rows (DeviceProvingKey.abq_pack layout): abq (chunk, 128) =
+    [A.x | A.y | B1.x | B1.y | B2.x | B2.y], lpk/hpk (chunk, 32) = [x | y].
+    Runs in the prefetch thread (mmap page-in + strided memcpy, no device
+    work), so each chunk is THREE put trains and the fused jit gathers
+    straight from the arrival buffers — the first streamed-packed cut
+    concatenated ten narrow arrays ON DEVICE every chunk, a full extra
+    HBM relayout pass per chunk. Rows past a section end stay all-zero =
+    infinity, neutral in any bucket."""
+    sec_a, sec_b1, sec_l, sec_h = g1_secs
+    abq = np.zeros((chunk, 8, 16), np.uint16)
+    for j, src in enumerate((sec_a[0], sec_a[1], sec_b1[0], sec_b1[1])):
+        n = src.shape[0]
+        lo_c, hi_c = min(lo, n), min(lo + chunk, n)
+        if hi_c > lo_c:
+            abq[: hi_c - lo_c, j] = src[lo_c:hi_c]
+    for j, src in enumerate(g2_sec):  # (n, 2, 16) each
+        n = src.shape[0]
+        lo_c, hi_c = min(lo, n), min(lo + chunk, n)
+        if hi_c > lo_c:
+            abq[: hi_c - lo_c, 4 + 2 * j : 6 + 2 * j] = src[lo_c:hi_c]
+
+    def xy(sec):
+        out = np.zeros((chunk, 2, 16), np.uint16)
+        n = sec[0].shape[0]
+        lo_c, hi_c = min(lo, n), min(lo + chunk, n)
+        if hi_c > lo_c:
+            out[: hi_c - lo_c, 0] = sec[0][lo_c:hi_c]
+            out[: hi_c - lo_c, 1] = sec[1][lo_c:hi_c]
+        return out.reshape(chunk, 32)
+
+    return abq.reshape(chunk, 128), xy(sec_l), xy(sec_h)
+
+
 def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     """All five MSMs' bucket accumulation over host ROW chunks: one fused
     dispatch per chunk, one scans dispatch at the end. Scalars
@@ -321,7 +350,6 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     on overlapped staging), so deliberately SERIALIZING the transfer into
     the device-idle window costs only bytes/1.48 GB/s per chunk and wins
     back the rest."""
-    sec_a, sec_b1, sec_l, sec_h = g1_secs
     sc_asg_f, sc_l_f, sc_h_f = scalars_dev
 
     accs = (
@@ -330,10 +358,7 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     )
 
     def stage_host(lo):
-        flat = []
-        for xs, ys in (sec_a, sec_b1, sec_l, sec_h, g2_sec):
-            flat.extend(_stage_rows_host(xs, ys, lo, chunk))
-        return flat
+        return _stage_packed_host(g1_secs, g2_sec, lo, chunk)
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(stage_host, 0)

@@ -84,12 +84,12 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
             fit(h_dev),
         )
 
-    def body(a_xs, a_ys, b1_xs, b1_ys, l_xs, l_ys, h_xs, h_ys,
-             g2_xs, g2_ys, sc_asg, sc_l, sc_h, lo, acc_g1, acc_g2):
-        # local shard: (local, ...) rows; accumulators arrive with a
-        # leading local dim of 1. The packed body (gj._packed_window_sums)
-        # gives each device the same one-256B-take-per-window gather and
-        # single G1 pipeline instantiation as the single-chip provers.
+    def body(abq, lpk, hpk, sc_asg, sc_l, sc_h, lo, acc_g1, acc_g2):
+        # local shard: (local, ...) packed rows (assembled host-side by
+        # streamed._stage_packed_host); accumulators arrive with a leading
+        # local dim of 1. The packed body (gj._packed_window_sums) gives
+        # each device the same one-256B-take-per-window gather and single
+        # G1 pipeline instantiation as the single-chip provers.
         from ..models import groth16_jax as gj
 
         idx = jax.lax.axis_index(SHARD_AXIS)
@@ -98,12 +98,6 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
         def sl(full):
             return jax.lax.dynamic_slice_in_dim(full, off, local, 0)
 
-        abq = jnp.concatenate([
-            a_xs, a_ys, b1_xs, b1_ys,
-            g2_xs.reshape(local, 32), g2_ys.reshape(local, 32),
-        ], axis=-1)
-        lpk = jnp.concatenate([l_xs, l_ys], axis=-1)
-        hpk = jnp.concatenate([h_xs, h_ys], axis=-1)
         oa, ka = msm_ops.window_orders(
             sl(sc_asg).astype(jnp.uint32), window_bits
         )
@@ -129,7 +123,7 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
     acc_spec = tuple(P(SHARD_AXIS) for _ in range(3))
     fused_sm = shmap(
         body, mesh=mesh,
-        in_specs=(rows,) * 10 + (repl,) * 4 + (acc_spec,) * 2,
+        in_specs=(rows,) * 3 + (repl,) * 4 + (acc_spec,) * 2,
         out_specs=(acc_spec,) * 2,
     )
 
@@ -162,24 +156,10 @@ def _build_jits(spk: sm.StreamedProvingKey, mesh: Mesh, window_bits: int,
     )
 
     return {
-        "fused": jax.jit(fused_sm, donate_argnums=(14, 15)),
+        "fused": jax.jit(fused_sm, donate_argnums=(7, 8)),
         "scans": jax.jit(scans_sm),
         "prep": jax.jit(prep, static_argnums=(2,)),
     }
-
-
-def _stage_rows_sharded(mesh, xs_host, ys_host, lo, chunk):
-    """One chunk of affine rows, zero-padded, device_put sharded over the
-    mesh point axis (all-zero rows = infinity, neutral in any bucket)."""
-    sh = NamedSharding(mesh, P(SHARD_AXIS))
-    n = xs_host.shape[0]
-    lo_c, hi_c = min(max(lo, 0), n), min(lo + chunk, n)
-    xs = np.zeros((chunk,) + xs_host.shape[1:], np.uint16)
-    ys = np.zeros((chunk,) + ys_host.shape[1:], np.uint16)
-    if hi_c > lo_c:
-        xs[: hi_c - lo_c] = xs_host[lo_c:hi_c]
-        ys[: hi_c - lo_c] = ys_host[lo_c:hi_c]
-    return jax.device_put(xs, sh), jax.device_put(ys, sh)
 
 
 def prove_streamed_sharded(
@@ -221,13 +201,13 @@ def prove_streamed_sharded(
         _init_accs_sharded(mesh, cj.FQ2_ADAPTER, window_bits, D),
     )
 
-    sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
+    sh = NamedSharding(mesh, P(SHARD_AXIS))
 
     def stage(lo):
-        flat = []
-        for xs, ys in (sec_a, sec_b1, sec_l, sec_h, spk.g2_section):
-            flat.extend(_stage_rows_sharded(mesh, xs, ys, lo, chunk))
-        return flat
+        packed = sm._stage_packed_host(
+            spk.g1_sections, spk.g2_section, lo, chunk
+        )
+        return [jax.device_put(b, sh) for b in packed]
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(stage, 0)

@@ -69,13 +69,11 @@ def main():
         return jits["prep"](asg_dev, h_dev, P)
 
     scalars_pre = jax.block_until_ready(witness_prep())
-    sec_a, sec_b1, sec_l, sec_h = spk.g1_sections
 
     def stage_host(lo):
-        flat = []
-        for xs, ys in (sec_a, sec_b1, sec_l, sec_h, spk.g2_section):
-            flat.extend(sm._stage_rows_host(xs, ys, lo, chunk))
-        return flat
+        return sm._stage_packed_host(
+            spk.g1_sections, spk.g2_section, lo, chunk
+        )
 
     def stage(lo):
         return [sm._put_chunked(b) for b in stage_host(lo)]
