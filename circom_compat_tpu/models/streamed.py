@@ -341,15 +341,19 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     (`scalars_dev` = padded device-resident asg/aux/h vectors) never
     leave the device — the fused jit slices them per chunk.
 
-    Staging schedule (round 5): a prefetch thread does the HOST half of
-    chunk i+1's staging (mmap page-in + memcpy) while the device runs
-    chunk i, but the device_put trains are issued only AFTER blocking on
-    chunk i's accumulators. Rationale (measured): H2D through the axon
-    tunnel collapses ~30x when concurrent with compute (~46 MB/s vs
-    1.48 GB/s idle — r4 ablation put ~5 s of a 15.7 s 2^20 streamed prove
-    on overlapped staging), so deliberately SERIALIZING the transfer into
-    the device-idle window costs only bytes/1.48 GB/s per chunk and wins
-    back the rest."""
+    Staging schedule: a prefetch thread assembles the packed host rows
+    (_stage_packed_host) AND issues chunk i+1's put train while the
+    device runs chunk i — the r4-measured overlapped form (15.7 s / 56 s
+    at 2^20 / 2^22). A round-5 variant that serialized the put trains
+    into device-idle windows (block on chunk i's accumulators before any
+    device_put, rationale: tunnel H2D collapses ~30x when concurrent with
+    compute) measured a large REGRESSION on chip — 19.0 s / 98.0 s —
+    i.e. the concurrent-H2D collapse is still cheaper than paying the
+    transfer serially. Kept behind CIRCOM_TPU_STREAM_SERIAL=1 for
+    re-evaluation on non-tunnel hardware."""
+    import os
+
+    serial = os.environ.get("CIRCOM_TPU_STREAM_SERIAL", "0") == "1"
     sc_asg_f, sc_l_f, sc_h_f = scalars_dev
 
     accs = (
@@ -360,24 +364,28 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
     def stage_host(lo):
         return _stage_packed_host(g1_secs, g2_sec, lo, chunk)
 
+    def stage_put(lo):
+        return [_put_chunked(b) for b in stage_host(lo)]
+
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(stage_host, 0)
-        # the witness map + scalar prep are still in flight (async
-        # dispatch); chunk 0's host memcpy above overlaps them, but its
-        # put train must not — same contention collapse
-        jax.block_until_ready(scalars_dev)
+        fut = pool.submit(stage_host if serial else stage_put, 0)
+        if serial:
+            jax.block_until_ready(scalars_dev)
         for lo in range(0, n, chunk):
-            host_bufs = fut.result()
+            cur = fut.result()
             if lo + chunk < n:
-                fut = pool.submit(stage_host, lo + chunk)
-            # wait for the previous chunk's compute (and, on the first
-            # chunk, the witness map) so the put train runs device-idle
-            jax.block_until_ready(accs)
-            cur = [_put_chunked(b) for b in host_bufs]
+                fut = pool.submit(
+                    stage_host if serial else stage_put, lo + chunk
+                )
+            if serial:
+                # wait for the previous chunk's compute so the put train
+                # runs device-idle, then transfer
+                jax.block_until_ready(accs)
+                cur = [_put_chunked(b) for b in cur]
             accs = jits["fused"](
                 *cur, sc_asg_f, sc_l_f, sc_h_f, np.int32(lo), *accs
             )
-            del cur, host_bufs
+            del cur
             _sample_live_bytes()
     return jits["scans"](*accs)
 

@@ -91,17 +91,14 @@ def main():
 
         lows = list(range(0, n, chunk))
         if prestaged is None:
-            # mirrors _stream_all's round-5 schedule: host memcpy in the
-            # prefetch thread, put trains serialized into device-idle gaps
+            # mirrors _stream_all's overlapped schedule: host memcpy AND
+            # the put train both ride the prefetch thread
             with ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(stage_host, 0)
-                jax.block_until_ready((sa, sl_, sh))
+                fut = pool.submit(stage, 0)
                 for i, lo in enumerate(lows):
-                    host_bufs = fut.result()
+                    cur = fut.result()
                     if i + 1 < len(lows):
-                        fut = pool.submit(stage_host, lows[i + 1])
-                    jax.block_until_ready(accs)
-                    cur = [sm._put_chunked(b) for b in host_bufs]
+                        fut = pool.submit(stage, lows[i + 1])
                     accs = jits["fused"](*cur, sa, sl_, sh, np.int32(lo), *accs)
         else:
             for lo, cur in zip(lows, prestaged):
