@@ -51,7 +51,6 @@ def main():
     print(f"setup (host params + staging): {time.time()-t0:.1f}s",
           flush=True)
 
-    from circom_compat_tpu.models import groth16_jax as gj
     from circom_compat_tpu.ops import field_jax as fj
 
     asg = jax.numpy.asarray(
