@@ -412,14 +412,24 @@ def _decode_row_g2(sec: G2Section, i: int):
 def _oncurve_all(name, limbs_u16, g2=False):
     """Vectorized on-curve membership for EVERY row of a section (ADVICE
     r3: the 4-row spot check misses localized corruption). Runs on the
-    default jax backend with the XLA limb field ops; all-zero rows
-    (infinity, zkey convention) are exempt. Raises SetupSelfCheckError
-    with the first offending row index."""
+    default jax backend with the XLA limb field ops in blocks of at most
+    2^22 rows — the full-section form held ~15 (n, 16)-u32 transients
+    live at once and RESOURCE_EXHAUSTED the 2^24 setup
+    (measurements/round5/round5_key24.log); all-zero rows (infinity,
+    zkey convention) are exempt. Raises SetupSelfCheckError with the
+    first offending row index."""
+    a = np.asarray(limbs_u16)
+    n = a.shape[0]
+    block = 1 << 22
+    for lo in range(0, n, block):
+        _oncurve_block(name, a[lo : lo + block], lo, g2)
+
+
+def _oncurve_block(name, a, base, g2):
     import jax.numpy as jnp
 
     from ..ops import field_jax as fj
 
-    a = np.asarray(limbs_u16)
     n = a.shape[0]
     if n == 0:
         return
@@ -455,10 +465,10 @@ def _oncurve_all(name, limbs_u16, g2=False):
         ok = fj.eq(fj.mont_sqr(fj.FQ, y), rhs)
     ok = ok | inf
     if not bool(jnp.all(ok)):
-        bad = int(jnp.argmin(ok))
+        bad = base + int(jnp.argmin(ok))
         raise SetupSelfCheckError(
             f"setup self-check: section {name} row {bad} is off-curve "
-            f"({int(jnp.sum(~ok))} rows total)"
+            f"({int(jnp.sum(~ok))} rows in this block)"
         )
 
 
