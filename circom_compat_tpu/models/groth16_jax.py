@@ -224,6 +224,38 @@ def _witness_map_mont(dpk: DeviceProvingKey, asg_mont: jnp.ndarray) -> jnp.ndarr
     )
 
 
+def _ntt_tables_for(plan) -> dict:
+    """The NTT tables the ACTIVE witness-map path reads, as device arrays
+    — and nothing else. The Pallas limb-major pipeline (TPU, n >= 1024)
+    never touches the flat (n, 16) tw/coset tables or bitrev, which cost
+    3+ GB of HBM at a 2^24 domain; the XLA fallback path (CPU mesh, tiny
+    domains) needs exactly those and none of the lm variants. Staging the
+    union RESOURCE_EXHAUSTED the first streamed-2^24 witness compile."""
+    from ..ops import field_pallas as fp
+
+    pallas_map = fp.use_pallas() and plan.n >= 1024
+    tables = {"n_inv": jnp.asarray(plan.n_inv)}
+    if not pallas_map:
+        tables.update(
+            tw_fwd=jnp.asarray(plan.tw_fwd),
+            tw_inv=jnp.asarray(plan.tw_inv),
+            coset=jnp.asarray(plan.coset),
+            bitrev=jnp.asarray(plan.bitrev),
+        )
+        return tables
+    # limb-major tables for the Pallas witness-map pipeline: four-step
+    # tables for domains >= FOUR_STEP_MIN, flat DIF/DIT tables otherwise
+    # (ntt._witness_map_transforms_lm)
+    if plan.n >= ntt.FOUR_STEP_MIN:
+        keys = ("t3_fwd_lm", "t3_inv_lm", "coset4_lm", "tw1_fwd_lm",
+                "tw1_inv_lm", "tw2_fwd_lm", "tw2_inv_lm")
+    else:
+        keys = ("tw_fwd_lm", "tw_inv_lm", "coset_inv_bitrev_lm")
+    for key in keys:
+        tables[key] = jnp.asarray(getattr(plan, key))
+    return tables
+
+
 def _device_arrays(dpk: DeviceProvingKey) -> dict:
     """All large device buffers of the prove core as ONE pytree, passed as
     jit ARGUMENTS. Closure-capturing them embeds ~GBs of literals in the
@@ -235,33 +267,7 @@ def _device_arrays(dpk: DeviceProvingKey) -> dict:
             "a_rows": dpk.a_rows, "a_cols": dpk.a_cols, "a_vals": dpk.a_vals,
             "b_rows": dpk.b_rows, "b_cols": dpk.b_cols, "b_vals": dpk.b_vals,
             "abq": dpk.abq_pack, "lpk": dpk.l_pack, "hpk": dpk.h_pack,
-            "ntt": {
-                "tw_fwd": jnp.asarray(plan.tw_fwd),
-                "tw_inv": jnp.asarray(plan.tw_inv),
-                "coset": jnp.asarray(plan.coset),
-                "bitrev": jnp.asarray(plan.bitrev),
-                "n_inv": jnp.asarray(plan.n_inv),
-                # limb-major tables for the Pallas witness-map pipeline:
-                # four-step tables for domains >= 4096, flat DIF/DIT
-                # tables otherwise (ntt._witness_map_transforms_lm)
-                **(
-                    {
-                        "t3_fwd_lm": jnp.asarray(plan.t3_fwd_lm),
-                        "t3_inv_lm": jnp.asarray(plan.t3_inv_lm),
-                        "coset4_lm": jnp.asarray(plan.coset4_lm),
-                        "tw1_fwd_lm": jnp.asarray(plan.tw1_fwd_lm),
-                        "tw1_inv_lm": jnp.asarray(plan.tw1_inv_lm),
-                        "tw2_fwd_lm": jnp.asarray(plan.tw2_fwd_lm),
-                        "tw2_inv_lm": jnp.asarray(plan.tw2_inv_lm),
-                    }
-                    if plan.n >= ntt.FOUR_STEP_MIN
-                    else {
-                        "tw_fwd_lm": jnp.asarray(plan.tw_fwd_lm),
-                        "tw_inv_lm": jnp.asarray(plan.tw_inv_lm),
-                        "coset_inv_bitrev_lm": jnp.asarray(plan.coset_inv_bitrev_lm),
-                    }
-                ),
-            },
+            "ntt": _ntt_tables_for(plan),
         }
     return dpk._cache["arrays"]
 
@@ -292,12 +298,12 @@ class _TracedNTTPlan:
     def __init__(self, n: int, tables: dict):
         self.n = n
         self.log_n = n.bit_length() - 1
-        self.tw_fwd = tables["tw_fwd"]
-        self.tw_inv = tables["tw_inv"]
-        self.coset = tables["coset"]
-        self.bitrev = tables["bitrev"]
         self.n_inv = tables["n_inv"]
+        # only the tables the active path staged exist (_ntt_tables_for);
+        # the code paths that read an attribute are exactly the ones whose
+        # tables were staged for this backend/domain
         for key in (
+            "tw_fwd", "tw_inv", "coset", "bitrev",
             "tw_fwd_lm", "tw_inv_lm", "coset_inv_bitrev_lm",
             "t3_fwd_lm", "t3_inv_lm", "coset4_lm",
             "tw1_fwd_lm", "tw1_inv_lm", "tw2_fwd_lm", "tw2_inv_lm",

@@ -142,24 +142,16 @@ def _witness_jit(spk: StreamedProvingKey):
 def _witness_arrays(spk: StreamedProvingKey) -> dict:
     if "arrays" not in spk._cache:
         plan = ntt.get_plan(spk.domain_size)
-        tables = {
-            "tw_fwd": jnp.asarray(plan.tw_fwd),
-            "tw_inv": jnp.asarray(plan.tw_inv),
-            "coset": jnp.asarray(plan.coset),
-            "bitrev": jnp.asarray(plan.bitrev),
-            "n_inv": jnp.asarray(plan.n_inv),
-        }
-        for key in (
-            "tw_fwd_lm", "tw_inv_lm", "coset_inv_bitrev_lm",
-            "t3_fwd_lm", "t3_inv_lm", "coset4_lm",
-            "tw1_fwd_lm", "tw1_inv_lm", "tw2_fwd_lm", "tw2_inv_lm",
-        ):
-            if hasattr(plan, key):
-                tables[key] = jnp.asarray(getattr(plan, key))
+        # Stage ONLY the tables the active witness-map path reads. Every
+        # lm table is an NTTPlan @property, so a hasattr sweep staged the
+        # flat (n,16) tables AND the flat-lm transposes AND the four-step
+        # tables all at once — ~6 GB of dead device buffers at a 2^24
+        # domain, which RESOURCE_EXHAUSTED the first streamed-2^24
+        # witness compile (measurements/round5/round5_streamed24_oom.log).
         spk._cache["arrays"] = {
             "a_rows": spk.a_rows, "a_cols": spk.a_cols, "a_vals": spk.a_vals,
             "b_rows": spk.b_rows, "b_cols": spk.b_cols, "b_vals": spk.b_vals,
-            "ntt": tables,
+            "ntt": gj._ntt_tables_for(plan),
         }
     return spk._cache["arrays"]
 
