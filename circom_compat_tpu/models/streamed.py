@@ -113,30 +113,54 @@ class StreamedProvingKey:
 
 
 def _witness_jit(spk: StreamedProvingKey):
-    """(ntt tables + matrices as args, asg_plain) -> h_plain limbs."""
+    """asg_plain (device) -> h_plain limbs, as TWO sequenced donated jits:
+    eval_ab (to-mont + both sparse evals + the public-input insert) and
+    transforms (the 6-NTT tail, donating a and b). One fused graph wanted
+    16.37 GB of HBM at a 2^24 domain
+    (measurements/round5/round5_streamed24_oom2.log); sequencing halves
+    the live set and lets XLA reuse the donated (n, 16) buffers."""
     num_constraints = spk.num_constraints
     num_inputs = spk.num_inputs
     domain_size = spk.domain_size
 
-    def run(arrays, asg_plain):
+    def eval_ab(arrays, asg_plain):
         from ..ops import field_pallas as fp
 
-        plan_t = gj._TracedNTTPlan(domain_size, arrays["ntt"])
         if fp.use_pallas():
             asg_mont = fp.fr_to_mont(asg_plain)
         else:
             asg_mont = fj.to_mont_impl(fj.FR, asg_plain)
-        h_mont = ntt.witness_map_impl(
-            plan_t,
+        n = domain_size
+        a = ntt.sparse_eval_impl(
             arrays["a_rows"], arrays["a_cols"], arrays["a_vals"],
-            arrays["b_rows"], arrays["b_cols"], arrays["b_vals"],
-            asg_mont, num_constraints, num_inputs,
+            asg_mont, n,
         )
+        b = ntt.sparse_eval_impl(
+            arrays["b_rows"], arrays["b_cols"], arrays["b_vals"],
+            asg_mont, n,
+        )
+        a = a.at[num_constraints : num_constraints + num_inputs].set(
+            asg_mont[:num_inputs]
+        )
+        return a, b
+
+    def transforms(tables, a, b):
+        from ..ops import field_pallas as fp
+
+        plan_t = gj._TracedNTTPlan(domain_size, tables)
+        h_mont = ntt.witness_map_from_ab(plan_t, a, b)
         if fp.use_pallas():
             return fp.fr_from_mont(h_mont)
         return fj.from_mont_impl(fj.FR, h_mont)
 
-    return jax.jit(run)
+    ev = jax.jit(eval_ab)
+    tr = jax.jit(transforms, donate_argnums=(1, 2))
+
+    def run(arrays, asg_plain):
+        a, b = ev(arrays, asg_plain)
+        return tr(arrays["ntt"], a, b)
+
+    return run
 
 
 def _witness_arrays(spk: StreamedProvingKey) -> dict:

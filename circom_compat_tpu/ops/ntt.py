@@ -395,8 +395,17 @@ def witness_map(
         assignment_mont[:num_inputs]
     )
 
+    return witness_map_from_ab(plan, a, b)
+
+
+def witness_map_from_ab(plan, a, b):
+    """The 6-transform tail of the witness map given the A/B evaluation
+    vectors (Montgomery). Split out so >HBM provers can run the sparse
+    eval and the transforms as SEPARATE donated jits — one fused 2^24
+    witness graph wants 16.37 GB of HBM (round-5 streamed-2^24 OOM)."""
     from . import field_pallas as fp
 
+    n = plan.n
     if fp.use_pallas() and n >= 1024:
         return _witness_map_transforms_lm(plan, a, b)
 
