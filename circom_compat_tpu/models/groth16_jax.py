@@ -224,23 +224,25 @@ def _witness_map_mont(dpk: DeviceProvingKey, asg_mont: jnp.ndarray) -> jnp.ndarr
     )
 
 
-def _ntt_tables_for(plan) -> dict:
-    """The NTT tables the ACTIVE witness-map path reads, as device arrays
-    — and nothing else. The Pallas limb-major pipeline (TPU, n >= 1024)
-    never touches the flat (n, 16) tw/coset tables or bitrev, which cost
-    3+ GB of HBM at a 2^24 domain; the XLA fallback path (CPU mesh, tiny
-    domains) needs exactly those and none of the lm variants. Staging the
-    union RESOURCE_EXHAUSTED the first streamed-2^24 witness compile."""
+def _ntt_tables_for(plan, host: bool = False) -> dict:
+    """The NTT tables the ACTIVE witness-map path reads — and nothing
+    else. The Pallas limb-major pipeline (TPU, n >= 1024) never touches
+    the flat (n, 16) tw/coset tables or bitrev, which cost 3+ GB of HBM
+    at a 2^24 domain; the XLA fallback path (CPU mesh, tiny domains)
+    needs exactly those and none of the lm variants. With host=True the
+    tables come back as numpy (the lm plan attributes are recomputing
+    @properties — callers that restage per prove cache the host dict)."""
     from ..ops import field_pallas as fp
 
+    conv = np.asarray if host else jnp.asarray
     pallas_map = fp.use_pallas() and plan.n >= 1024
-    tables = {"n_inv": jnp.asarray(plan.n_inv)}
+    tables = {"n_inv": conv(plan.n_inv)}
     if not pallas_map:
         tables.update(
-            tw_fwd=jnp.asarray(plan.tw_fwd),
-            tw_inv=jnp.asarray(plan.tw_inv),
-            coset=jnp.asarray(plan.coset),
-            bitrev=jnp.asarray(plan.bitrev),
+            tw_fwd=conv(plan.tw_fwd),
+            tw_inv=conv(plan.tw_inv),
+            coset=conv(plan.coset),
+            bitrev=conv(plan.bitrev),
         )
         return tables
     # limb-major tables for the Pallas witness-map pipeline: four-step
@@ -252,7 +254,7 @@ def _ntt_tables_for(plan) -> dict:
     else:
         keys = ("tw_fwd_lm", "tw_inv_lm", "coset_inv_bitrev_lm")
     for key in keys:
-        tables[key] = jnp.asarray(getattr(plan, key))
+        tables[key] = conv(getattr(plan, key))
     return tables
 
 

@@ -164,20 +164,25 @@ def _witness_jit(spk: StreamedProvingKey):
 
 
 def _witness_arrays(spk: StreamedProvingKey) -> dict:
-    if "arrays" not in spk._cache:
+    """Witness-map operands: matrices (permanently device-resident spk
+    fields) + the active path's NTT tables staged PER PROVE from a cached
+    host dict — at a 2^24 domain the four-step tables are ~3 GB and
+    pinning them across the MSM chunk loop (which needs every byte of
+    HBM) contributed to the round-5 runtime OOM. The per-prove put train
+    costs ~bytes/1.48 GB/s and the buffers free as soon as the witness
+    jits retire (nothing else references the dict)."""
+    from ..utils.xfer import put_chunked
+
+    if "ntt_host" not in spk._cache:
         plan = ntt.get_plan(spk.domain_size)
-        # Stage ONLY the tables the active witness-map path reads. Every
-        # lm table is an NTTPlan @property, so a hasattr sweep staged the
-        # flat (n,16) tables AND the flat-lm transposes AND the four-step
-        # tables all at once — ~6 GB of dead device buffers at a 2^24
-        # domain, which RESOURCE_EXHAUSTED the first streamed-2^24
-        # witness compile (measurements/round5/round5_streamed24_oom.log).
-        spk._cache["arrays"] = {
-            "a_rows": spk.a_rows, "a_cols": spk.a_cols, "a_vals": spk.a_vals,
-            "b_rows": spk.b_rows, "b_cols": spk.b_cols, "b_vals": spk.b_vals,
-            "ntt": gj._ntt_tables_for(plan),
-        }
-    return spk._cache["arrays"]
+        spk._cache["ntt_host"] = gj._ntt_tables_for(plan, host=True)
+    return {
+        "a_rows": spk.a_rows, "a_cols": spk.a_cols, "a_vals": spk.a_vals,
+        "b_rows": spk.b_rows, "b_cols": spk.b_cols, "b_vals": spk.b_vals,
+        "ntt": {
+            k: put_chunked(v) for k, v in spk._cache["ntt_host"].items()
+        },
+    }
 
 
 def _init_buckets(F, window_bits: int, lead=()):
@@ -415,11 +420,16 @@ def prove_streamed(
 ):
     """Full prove with host-resident query sections (bit-exact vs the
     resident-key prover)."""
-    if window_bits is None:
-        window_bits = gj.default_window_bits(
-            max(spk.n_vars, spk.domain_size)
-        )
     chunk = min(spk.chunk_points, 1 << max(spk.n_vars - 1, 1).bit_length())
+    if window_bits is None:
+        # The per-sort n of the chunked Pippenger is CHUNK, not the total
+        # point count — and bucket memory scales 2^w: sizing w from the
+        # 2^24 total picked w17, whose (4, W, B, pt) accumulators + the
+        # per-chunk bucket outputs alone cost ~9 GB and OOM'd the first
+        # 2^24 chunk loop at runtime (round5_streamed24_oom3.log). Sizing
+        # from the chunk gives the same w the resident core would pick
+        # for a chunk-sized key (w13 at 2^20) with ~190 MB accumulators.
+        window_bits = gj.default_window_bits(chunk)
 
     from ..utils import trace
 

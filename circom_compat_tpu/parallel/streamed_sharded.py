@@ -174,13 +174,13 @@ def prove_streamed_sharded(
     """Full prove: host-resident sections streamed into the mesh in
     chunks; bit-exact vs the host/resident/streamed provers."""
     D = int(mesh.shape[SHARD_AXIS])
-    if window_bits is None:
-        window_bits = gj.default_window_bits(
-            max(spk.n_vars, spk.domain_size)
-        )
     chunk = min(spk.chunk_points, 1 << max(spk.n_vars - 1, 1).bit_length())
     chunk = max(chunk, D)
     chunk = -(-chunk // D) * D
+    if window_bits is None:
+        # per-DEVICE sort length is the chunked Pippenger's n (see
+        # models/streamed.prove_streamed — bucket memory scales 2^w)
+        window_bits = gj.default_window_bits(max(chunk // D, 1))
 
     asg_plain_np = np.asarray(gj._encode_assignment(full_assignment))
     n = max(max(sec[0].shape[0] for sec in spk.g1_sections),
