@@ -408,6 +408,13 @@ def _stream_all(jits, g1_secs, g2_sec, scalars_dev, chunk, window_bits, n):
             )
             del cur
             _sample_live_bytes()
+            if os.environ.get("CIRCOM_TPU_STREAM_DEBUG", "0") == "1":
+                jax.block_until_ready(accs)
+                print(
+                    f"[stream] chunk lo={lo} done, live "
+                    f"{LAST_PEAK_LIVE_BYTES/1e9:.2f} GB peak",
+                    flush=True,
+                )
     return jits["scans"](*accs)
 
 
